@@ -1,0 +1,36 @@
+import os
+import pathlib
+import subprocess
+import sys
+
+# Sharding tests need a multi-device mesh; tests run on a virtual 8-device
+# CPU platform unless ICSP_TEST_TPU=1 explicitly requests the real chip.
+if os.environ.get("ICSP_TEST_TPU", "0") != "1":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import pytest  # noqa: E402
+
+GOLDEN = REPO / "tests" / "golden"
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    """Golden artifacts from the C++ reference; regenerated on demand
+    (they are gitignored — only MANIFEST.sha256 is committed)."""
+    if not (GOLDEN / "synthA_compCIF_16_16_1.bin").exists():
+        if not pathlib.Path("/root/reference").exists():
+            pytest.skip("reference codec not available to generate goldens")
+        subprocess.run(
+            ["bash", str(REPO / "tools" / "gen_golden.sh")],
+            check=True,
+            capture_output=True,
+        )
+    return GOLDEN
