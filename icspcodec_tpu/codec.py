@@ -1,0 +1,253 @@
+"""Top-level encode/decode API.
+
+encode(): device-side engines produce whole-sequence symbol + recon
+arrays (intra batches + per-GOP lax.scans); the host packs the bitstream
+with the vectorized numpy writer.
+
+decode(): the native C parser (runtime/) produces fixed-shape symbol
+arrays; the device runs the batched inverse pipelines.
+
+Two precision regimes (config.precision):
+  exact — float64 with the encoder's float-rounded cosine table on the
+          forward path: bit-exact vs. the C++ reference encoder.
+  fast  — float32: the TPU throughput path; identical structure, results
+          may differ by +-1 quantization level at rounding ties.
+The decode side always uses the decoder-regime double table (COS_DEC),
+matching the C++ reference decoder bit-for-bit in exact mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CodecConfig
+from .constants import COS_DEC, COS_ENC
+from .bitstream import write_bitstream
+from .engine.inter import decode_inter_frame, encode_gop
+from .engine.intra import decode_intra_frames, encode_intra_frames
+from .oracle import parse_header
+from .runtime import parse_body
+
+_INTRA_KEYS = (
+    "y_scan", "mpm", "mode_bit", "cb_scan", "cb_acflag", "cr_scan", "cr_acflag",
+)
+_INTER_KEYS = (
+    "y_scan", "mv_diff", "cb_scan", "cb_acflag", "cr_scan", "cr_acflag",
+)
+
+
+def _dtype(cfg: CodecConfig):
+    return jnp.float64 if cfg.precision == "exact" else jnp.float32
+
+
+class _device_for:
+    """Exact mode must run on the CPU backend: TPU float64 is double-double
+    emulation (~1e-11 relative), not IEEE double, so it cannot reproduce
+    the C++ reference's rounding.  Fast mode runs on the default device."""
+
+    def __init__(self, exact: bool):
+        self._ctx = None
+        if exact:
+            cpus = jax.devices("cpu") if any(
+                d.platform != "cpu" for d in jax.devices()
+            ) else None
+            if cpus:
+                self._ctx = jax.default_device(cpus[0])
+
+    def __enter__(self):
+        if self._ctx is not None:
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *a):
+        if self._ctx is not None:
+            self._ctx.__exit__(*a)
+
+
+def _acflag(scan: np.ndarray) -> np.ndarray:
+    return (np.count_nonzero(scan[..., 1:], axis=-1) == 0).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
+def _encode_intra_jit(y, cb, cr, qdc, qac, exact):
+    dt = jnp.float64 if exact else jnp.float32
+    return encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
+def _encode_gop_jit(y, cb, cr, qdc, qac, exact):
+    dt = jnp.float64 if exact else jnp.float32
+    return encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
+
+
+def _np(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
+    """y: (F, H, W) uint8; cb/cr: (F, H/2, W/2).  Returns (bitstream bytes,
+    recon dict of (F, ...) uint8 planes)."""
+    nf = y.shape[0]
+    eff = cfg.eff_period
+    exact = cfg.precision == "exact"
+    if exact and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "precision='exact' needs float64: call "
+            "jax.config.update('jax_enable_x64', True) before encoding, "
+            "or use precision='fast'"
+        )
+
+    frame_syms: list = [None] * nf
+    rec_y = np.zeros_like(y)
+    rec_cb = np.zeros_like(cb)
+    rec_cr = np.zeros_like(cr)
+
+    def emit_intra(out, idxs):
+        for j, n in enumerate(idxs):
+            sym = {k: out[k][j] for k in _INTRA_KEYS}
+            sym["y_acflag"] = _acflag(sym["y_scan"])
+            frame_syms[n] = (sym, True)
+            rec_y[n], rec_cb[n], rec_cr[n] = (
+                out["recon_y"][j], out["recon_cb"][j], out["recon_cr"][j]
+            )
+
+    if eff == 1:
+        with _device_for(exact):
+            out = _np(_encode_intra_jit(y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact))
+        emit_intra(out, range(nf))
+    else:
+        nfull, rem = divmod(nf, eff)
+        batches = []
+        if nfull:
+            batches.append((np.arange(nfull * eff).reshape(nfull, eff),))
+        if rem:
+            batches.append((np.arange(nfull * eff, nf).reshape(1, rem),))
+        for (idx,) in batches:
+            g, p = idx.shape
+            yb = y[idx.ravel()].reshape(g, p, *y.shape[1:])
+            cbb = cb[idx.ravel()].reshape(g, p, *cb.shape[1:])
+            crb = cr[idx.ravel()].reshape(g, p, *cr.shape[1:])
+            with _device_for(exact):
+                intra, inter = _np(
+                    _encode_gop_jit(yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact)
+                ) if p > 1 else (
+                    _np(_encode_intra_jit(yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact)),
+                    None,
+                )
+            emit_intra(intra, idx[:, 0])
+            if inter is not None:
+                for gi in range(g):
+                    for pi in range(1, p):
+                        n = int(idx[gi, pi])
+                        sym = {k: inter[k][gi, pi - 1] for k in _INTER_KEYS}
+                        sym["y_acflag"] = _acflag(sym["y_scan"])
+                        frame_syms[n] = (sym, False)
+                        rec_y[n] = inter["recon_y"][gi, pi - 1]
+                        rec_cb[n] = inter["recon_cb"][gi, pi - 1]
+                        rec_cr[n] = inter["recon_cr"][gi, pi - 1]
+
+    bits = write_bitstream(
+        frame_syms, cfg.height, cfg.width, cfg.qp_dc, cfg.qp_ac, cfg.intra_period
+    )
+    return bits, dict(y=rec_y, cb=rec_cb, cr=rec_cr)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
+def _decode_intra_jit(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, exact):
+    dt = jnp.float64 if exact else jnp.float32
+    return decode_intra_frames(
+        y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table=COS_DEC, dtype=dt
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
+def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact):
+    """sym_i: intra symbols (G, ...); sym_p: inter symbols (G, P-1, ...)."""
+    dt = jnp.float64 if exact else jnp.float32
+    first = decode_intra_frames(
+        sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
+        sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, table=COS_DEC, dtype=dt,
+    )
+
+    def step(carry, xs):
+        out = decode_inter_frame(
+            xs, carry["y"], carry["cb"], carry["cr"], qdc, qac, table=COS_DEC, dtype=dt
+        )
+        return out, out
+
+    xs = {k: jnp.moveaxis(sym_p[k], 1, 0) for k in sym_p}
+    _, rest = jax.lax.scan(step, first, xs)
+    rest = {k: jnp.moveaxis(v, 0, 1) for k, v in rest.items()}
+    return first, rest
+
+
+def decode(data: bytes, nframes: int, precision: str = "exact"):
+    """Decode a bitstream; returns dict of (F, ...) uint8 planes."""
+    height, width, qdc, qac, period = parse_header(data[:14])
+    syms = parse_body(data[14:], nframes, height, width, period)
+    eff = 1 if period == 0 else period
+    exact = precision == "exact"
+    if exact and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "precision='exact' needs float64: call "
+            "jax.config.update('jax_enable_x64', True) before decoding, "
+            "or use precision='fast'"
+        )
+
+    y = np.zeros((nframes, height, width), np.uint8)
+    cb = np.zeros((nframes, height // 2, width // 2), np.uint8)
+    cr = np.zeros((nframes, height // 2, width // 2), np.uint8)
+
+    if eff == 1:
+        with _device_for(exact):
+            out = _np(_decode_intra_jit(
+                syms["y_scan"], syms["mpm"], syms["mode_bit"],
+                syms["cb_scan"], syms["cr_scan"], qdc, qac, exact,
+            ))
+        y[:], cb[:], cr[:] = out["y"], out["cb"], out["cr"]
+    else:
+        nfull, rem = divmod(nframes, eff)
+        batches = []
+        if nfull:
+            batches.append(np.arange(nfull * eff).reshape(nfull, eff))
+        if rem:
+            batches.append(np.arange(nfull * eff, nframes).reshape(1, rem))
+        for idx in batches:
+            g, p = idx.shape
+            sym_i = {
+                k: syms[k][idx[:, 0]]
+                for k in ("y_scan", "mpm", "mode_bit", "cb_scan", "cr_scan")
+            }
+            if p == 1:
+                with _device_for(exact):
+                    out = _np(_decode_intra_jit(
+                        sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
+                        sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, exact,
+                    ))
+                for gi, n in enumerate(idx[:, 0]):
+                    y[n], cb[n], cr[n] = out["y"][gi], out["cb"][gi], out["cr"][gi]
+                continue
+            pidx = idx[:, 1:].ravel()
+            sym_p = {
+                k: syms[k][pidx].reshape(g, p - 1, *syms[k].shape[1:])
+                for k in ("y_scan", "mv_diff", "cb_scan", "cr_scan")
+            }
+            with _device_for(exact):
+                first, rest = _np(_decode_gop_jit(sym_i, sym_p, qdc, qac, exact))
+            for gi in range(g):
+                n0 = int(idx[gi, 0])
+                y[n0], cb[n0], cr[n0] = first["y"][gi], first["cb"][gi], first["cr"][gi]
+                for pi in range(1, p):
+                    n = int(idx[gi, pi])
+                    y[n] = rest["y"][gi, pi - 1]
+                    cb[n] = rest["cb"][gi, pi - 1]
+                    cr[n] = rest["cr"][gi, pi - 1]
+    return dict(y=y, cb=cb, cr=cr)

@@ -1,0 +1,118 @@
+"""Intra frame engine: batched whole-frame encode/decode.
+
+Everything embarrassingly parallel (chroma DCT, AC quantization, IDCT,
+plane assembly) runs as one batched op over all blocks of all frames;
+only the DC chain and the luma pixel wavefront are lax.scans
+(engine/wavefront.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import COS_ENC
+from ..ops.quant import ac_flag, c_div, c_trunc, dequant_block, quant_block
+from ..ops.scanorder import izigzag, zigzag
+from ..ops.transforms import fdct, idct
+from .wavefront import (
+    chroma_dc_kind,
+    dc_dpcm_scan,
+    idc_dpcm_scan,
+    intra_luma_decode_scan,
+    intra_luma_scan,
+    luma_dc_kind,
+)
+
+
+def to_blocks(plane: jnp.ndarray, bs: int = 8) -> jnp.ndarray:
+    """(..., H, W) -> (..., H//bs, W//bs, bs, bs)"""
+    h, w = plane.shape[-2:]
+    lead = plane.shape[:-2]
+    x = plane.reshape(lead + (h // bs, bs, w // bs, bs))
+    return jnp.moveaxis(x, -3, -2)
+
+
+def from_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
+    gh, gw, bs = blocks.shape[-4], blocks.shape[-3], blocks.shape[-1]
+    x = jnp.moveaxis(blocks, -2, -3)
+    return x.reshape(blocks.shape[:-4] + (gh * bs, gw * bs))
+
+
+def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+    """Forward chroma chain for (F, H, W) pixel planes (intra: raw pixels)
+    or (F, gh, gw, 8, 8) residual blocks (inter).
+
+    Returns dict(scan, acflag, idct) — idct is the float inverse-DCT
+    output; callers finish reconstruction their own way."""
+    if planes.ndim == 3:
+        blocks = to_blocks(planes).astype(jnp.int32)
+    else:
+        blocks = planes
+    fdim, ch, cw = blocks.shape[:3]
+    d = fdct(blocks, table=table, dtype=dtype)
+    kind = chroma_dc_kind(ch, cw)
+    q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
+    q = quant_block(d, qdc, qac, chroma=True)
+    q = q.at[..., 0, 0].set(q_dc)
+    sc = zigzag(q)
+    acf = ac_flag(q)
+    iq = dequant_block(q, qdc, qac)
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r = idct(iq, table=table, dtype=dtype)
+    return dict(scan=sc, acflag=acf, idct=r)
+
+
+def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+    """Encode a batch of intra frames.
+
+    y: (F, H, W) uint8; cb/cr: (F, H/2, W/2) uint8.
+    Returns dict of recon planes + all bitstream symbols.
+    """
+    orig = to_blocks(y).astype(jnp.int32)
+    lum = intra_luma_scan(orig, qdc, qac, table=table, dtype=dtype)
+    out = dict(
+        recon_y=from_blocks(lum["recon"]).astype(jnp.uint8),
+        y_scan=lum["scan"],
+        y_acflag=_acflag_from_scan(lum["scan"]),
+        mpm=lum["mpm"],
+        mode_bit=lum["mode_bit"],
+    )
+    for name, plane in (("cb", cb), ("cr", cr)):
+        c = encode_chroma_batch(plane, qdc, qac, table=table, dtype=dtype)
+        # intra chroma recon = clamp((int)idct) (intraImgReconstruct
+        # enc src:1944-1960: truncation toward zero, then clamp)
+        rec = jnp.clip(c_trunc(c["idct"]), 0, 255).astype(jnp.uint8)
+        out[f"recon_{name}"] = from_blocks(rec)
+        out[f"{name}_scan"] = c["scan"]
+        out[f"{name}_acflag"] = c["acflag"]
+    return out
+
+
+def _acflag_from_scan(scan: jnp.ndarray) -> jnp.ndarray:
+    return (jnp.count_nonzero(scan[..., 1:], axis=-1) == 0).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table, dtype=jnp.float64):
+    """Inverse pipeline for a batch of intra frames (symbols -> planes)."""
+    q = izigzag(y_scan)
+    iq = dequant_block(q, qdc, qac)
+    gh, gw = q.shape[1:3]
+    dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r = idct(iq, table=table, dtype=dtype)
+    recon = intra_luma_decode_scan(r, mpm, mode_bit, dtype=dtype)
+    out = dict(y=from_blocks(recon).astype(jnp.uint8))
+    for name, scan in (("cb", cb_scan), ("cr", cr_scan)):
+        qc = izigzag(scan)
+        iqc = dequant_block(qc, qdc, qac)
+        ch, cw = qc.shape[1:3]
+        dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
+        iqc = iqc.at[..., 0, 0].set(dqc)
+        rc = idct(iqc, table=table, dtype=dtype)
+        out[name] = from_blocks(jnp.clip(c_trunc(rc), 0, 255).astype(jnp.uint8))
+    return out

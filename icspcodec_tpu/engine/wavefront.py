@@ -1,0 +1,393 @@
+"""Wavefront engines for the sequentially-dependent codec stages.
+
+The reference walks macroblocks in raster order, sub-blocks 0..3
+(allintraPrediction enc src:446-555).  Every sequential dependency —
+intra pixel prediction from reconstructed neighbors, the transform-domain
+DC DPCM chain, MPM mode prediction — reads only the left / upper-left /
+upper / upper-right neighbors on the global 8x8-block grid.  Any
+topological order of that DAG yields identical values, so the TPU build
+replaces the 396-step raster with the classic 2*gy+gx anti-diagonal
+wavefront: ~114 lax.scan steps for CIF, each processing up to 22 blocks
+x all frames in the batch as one vectorized step.
+
+Neighbor topology (derived from the reference's 16-way switch blocks,
+enc src:851-1499 / 3643-3990; see SURVEY.md section 2):
+
+* sub-block k of MB (by,bx) is global block (gy,gx) = (2by + k//2, 2bx + k%2)
+* availability: upper iff gy>0, left iff gx>0
+* intra-mode MPM: both -> median(left, upper-left, upper) modes; one
+  neighbor -> that mode; (0,0) forced DC with flag=0,bit=0
+* DC predictor kinds (luma): (0,0)->1024; gy==0 -> left; gx==0 -> upper;
+  (gy odd & gx odd) or (gx odd & right grid edge) -> median(l,ul,u);
+  else -> median(l,u,ur)
+* DC predictor kinds (chroma, flat grid): (0,0)->1024; first row -> left;
+  first col -> upper; right edge -> median(l,ul,u); else median(l,u,ur)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import COS_ENC, IRT2
+from ..ops.medians import median3
+from ..ops.quant import c_div, c_trunc, quant_block, dequant_block
+from ..ops.scanorder import zigzag
+from ..ops.transforms import fdct, idct
+
+
+# ---------------------------------------------------------------------------
+# schedules and kind grids (host-side, cached)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def wavefront_schedule(gh: int, gw: int):
+    """Anti-diagonal schedule: returns (gy, gx, valid) arrays of shape
+    (nsteps, nmax) covering every cell with 2*gy+gx == step."""
+    diags: list[list[tuple[int, int]]] = [[] for _ in range(2 * (gh - 1) + gw)]
+    for gy in range(gh):
+        for gx in range(gw):
+            diags[2 * gy + gx].append((gy, gx))
+    nmax = max(len(d) for d in diags)
+    gys = np.full((len(diags), nmax), gh, dtype=np.int32)  # gh = OOB sentinel
+    gxs = np.full((len(diags), nmax), gw, dtype=np.int32)
+    valid = np.zeros((len(diags), nmax), dtype=bool)
+    for i, cells in enumerate(diags):
+        for j, (gy, gx) in enumerate(cells):
+            gys[i, j], gxs[i, j], valid[i, j] = gy, gx, True
+    return gys, gxs, valid
+
+
+@functools.lru_cache(maxsize=None)
+def luma_dc_kind(gh: int, gw: int) -> np.ndarray:
+    """0=const1024 1=left 2=upper 3=med(l,ul,u) 4=med(l,u,ur)."""
+    k = np.zeros((gh, gw), dtype=np.int32)
+    for gy in range(gh):
+        for gx in range(gw):
+            if gy == 0 and gx == 0:
+                k[gy, gx] = 0
+            elif gy == 0:
+                k[gy, gx] = 1
+            elif gx == 0:
+                k[gy, gx] = 2
+            elif (gy % 2 == 1 and gx % 2 == 1) or (gx % 2 == 1 and gx == gw - 1):
+                k[gy, gx] = 3
+            else:
+                k[gy, gx] = 4
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def chroma_dc_kind(gh: int, gw: int) -> np.ndarray:
+    k = np.zeros((gh, gw), dtype=np.int32)
+    for gy in range(gh):
+        for gx in range(gw):
+            if gy == 0 and gx == 0:
+                k[gy, gx] = 0
+            elif gy == 0:
+                k[gy, gx] = 1
+            elif gx == 0:
+                k[gy, gx] = 2
+            elif gx == gw - 1:
+                k[gy, gx] = 3
+            else:
+                k[gy, gx] = 4
+    return k
+
+
+def _dc_pred(kind, l, ul, u, ur):
+    """Select the DC predictor per kind code (all args int32 arrays)."""
+    med_lulu = median3(l, ul, u)
+    med_luur = median3(l, u, ur)
+    return jnp.select(
+        [kind == 0, kind == 1, kind == 2, kind == 3],
+        [jnp.full_like(l, 1024), l, u, med_lulu],
+        med_luur,
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic DC DPCM chains (inter luma, chroma, and the decoder inverses)
+# ---------------------------------------------------------------------------
+
+
+def dc_dpcm_scan(dc: jnp.ndarray, kind: np.ndarray, qstep: int, chroma: bool):
+    """Forward DC chain: per block, subtract the predictor (from already
+    *dequantized* neighbor DCs), quantize, dequantize.
+
+    dc: (F, gh, gw) float DCT DC values.  Returns (q_dc, dq_dc) int32.
+    """
+    fdim, gh, gw = dc.shape
+    gys, gxs, valid = wavefront_schedule(gh, gw)
+    kindg = jnp.asarray(kind)
+
+    def body(carry, step):
+        qdc_g, dqdc_g = carry
+        gy, gx, v = step
+        gyc = jnp.minimum(gy, gh - 1)
+        gxc = jnp.minimum(gx, gw - 1)
+        gyu = jnp.maximum(gyc - 1, 0)
+        gxl = jnp.maximum(gxc - 1, 0)
+        gxr = jnp.minimum(gxc + 1, gw - 1)
+        l = dqdc_g[:, gyc, gxl]
+        u = dqdc_g[:, gyu, gxc]
+        ul = dqdc_g[:, gyu, gxl]
+        ur = dqdc_g[:, gyu, gxr]
+        kv = kindg[gyc, gxc]
+        pred = _dc_pred(kv[None, :], l, ul, u, ur)
+        resid = dc[:, gyc, gxc] - pred.astype(dc.dtype)
+        half = resid + 0.5
+        t = jnp.floor(half).astype(jnp.int32) if chroma else c_trunc(half)
+        q = c_div(t, qstep)
+        dq = q * qstep + pred
+        gy_s = jnp.where(v, gy, gh)
+        qdc_g = qdc_g.at[:, gy_s, gx].set(q, mode="drop")
+        dqdc_g = dqdc_g.at[:, gy_s, gx].set(dq, mode="drop")
+        return (qdc_g, dqdc_g), None
+
+    init = (
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+    )
+    (q_dc, dq_dc), _ = jax.lax.scan(
+        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
+    )
+    return q_dc, dq_dc
+
+
+def idc_dpcm_scan(iq_dc: jnp.ndarray, kind: np.ndarray):
+    """Inverse DC chain (decoder): dq_dc = iq_dc + predictor, sequential.
+
+    iq_dc: (F, gh, gw) int32 dequantized DC *residuals*.  Returns the
+    reconstructed dequantized DC field (F, gh, gw) int32.
+    """
+    fdim, gh, gw = iq_dc.shape
+    gys, gxs, valid = wavefront_schedule(gh, gw)
+    kindg = jnp.asarray(kind)
+
+    def body(dqdc_g, step):
+        gy, gx, v = step
+        gyc = jnp.minimum(gy, gh - 1)
+        gxc = jnp.minimum(gx, gw - 1)
+        gyu = jnp.maximum(gyc - 1, 0)
+        gxl = jnp.maximum(gxc - 1, 0)
+        gxr = jnp.minimum(gxc + 1, gw - 1)
+        l = dqdc_g[:, gyc, gxl]
+        u = dqdc_g[:, gyu, gxc]
+        ul = dqdc_g[:, gyu, gxl]
+        ur = dqdc_g[:, gyu, gxr]
+        kv = kindg[gyc, gxc]
+        pred = _dc_pred(kv[None, :], l, ul, u, ur)
+        dq = iq_dc[:, gyc, gxc] + pred
+        gy_s = jnp.where(v, gy, gh)
+        return dqdc_g.at[:, gy_s, gx].set(dq, mode="drop"), None
+
+    init = jnp.zeros((fdim, gh, gw), jnp.int32)
+    out, _ = jax.lax.scan(
+        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# intra luma: the full wavefront (mode search + transform chain + recon)
+# ---------------------------------------------------------------------------
+
+
+def intra_luma_scan(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+    """Encode one batch of intra luma planes.
+
+    orig: (F, gh, gw, 8, 8) int32 original blocks.
+    Returns dict with recon (F,gh,gw,8,8) int32, scan (F,gh,gw,64) int32,
+    mpm/mode_bit (F,gh,gw) int32.
+    """
+    fdim, gh, gw = orig.shape[:3]
+    gys, gxs, valid = wavefront_schedule(gh, gw)
+    kindg = jnp.asarray(luma_dc_kind(gh, gw))
+    ct = jnp.asarray(table, dtype=dtype)
+
+    def body(carry, step):
+        recon, modes, dqdc, scanq, mpmf, mbit = carry
+        gy, gx, v = step
+        n = gy.shape[0]
+        gyc = jnp.minimum(gy, gh - 1)
+        gxc = jnp.minimum(gx, gw - 1)
+        gyu = jnp.maximum(gyc - 1, 0)
+        gxl = jnp.maximum(gxc - 1, 0)
+        gxr = jnp.minimum(gxc + 1, gw - 1)
+        has_up = (gyc > 0)[None, :]           # (1, N)
+        has_left = (gxc > 0)[None, :]
+        first = ~has_up & ~has_left
+
+        cur = orig[:, gyc, gxc]                # (F, N, 8, 8)
+        up_row = recon[:, gyu, gxc][..., 7, :]     # (F, N, 8)
+        left_col = recon[:, gyc, gxl][..., :, 7]   # (F, N, 8)
+
+        # --- candidate residuals and SAEs ---
+        e0 = cur - up_row[..., None, :]
+        e1 = cur - left_col[..., :, None]
+        lsum = jnp.where(has_left, left_col.sum(-1), 1024)   # (F, N)
+        usum = jnp.where(has_up, up_row.sum(-1), 1024)
+        d16 = 16 * cur - (lsum + usum)[..., None, None]
+        e2 = jnp.sign(d16) * (jnp.abs(d16) // 16)
+        sae0 = jnp.abs(e0).sum((-2, -1))
+        sae1 = jnp.abs(e1).sum((-2, -1))
+        sae2 = jnp.abs(e2).sum((-2, -1))
+
+        mode_both = jnp.where(
+            (sae0 <= sae1) & (sae0 <= sae2), 0, jnp.where(sae1 <= sae2, 1, 2)
+        )
+        mode_left = jnp.where(sae2 > sae1, 1, 2)
+        mode_up = jnp.where(sae2 > sae0, 0, 2)
+        mode = jnp.where(
+            first,
+            2,
+            jnp.where(
+                has_up & has_left,
+                mode_both,
+                jnp.where(has_left, mode_left, mode_up),
+            ),
+        )
+        m = mode[..., None, None]
+        err = jnp.where(m == 0, e0, jnp.where(m == 1, e1, e2))
+
+        # --- MPM flag / remainder bit ---
+        lm = modes[:, gyc, gxl]
+        um = modes[:, gyu, gxc]
+        ulm = modes[:, gyu, gxl]
+        pred_mode = jnp.where(
+            has_up & has_left,
+            median3(lm, ulm, um),
+            jnp.where(has_left, lm, um),
+        )
+        flag = (mode == pred_mode) & ~first
+        bit = jnp.where(
+            flag | first, 0, jnp.where(pred_mode == 2, (mode == 1), (mode == 2))
+        ).astype(jnp.int32)
+
+        # --- transform chain ---
+        d = fdct(err, table=ct, dtype=dtype)
+        l = dqdc[:, gyc, gxl]
+        u = dqdc[:, gyu, gxc]
+        ul = dqdc[:, gyu, gxl]
+        ur = dqdc[:, gyu, gxr]
+        kv = kindg[gyc, gxc]
+        dc_pred = _dc_pred(kv[None, :], l, ul, u, ur)
+        # scatter-SET of the precomputed difference: a float scatter-add
+        # here gets contracted by XLA with the quantizer's +0.5, flipping
+        # half-ulp rounding ties vs. the C order (d - pred) + 0.5
+        d = d.at[..., 0, 0].set(d[..., 0, 0] - dc_pred.astype(dtype))
+        q = quant_block(d, qdc, qac, chroma=False)
+        sc = zigzag(q)
+        iq = dequant_block(q, qdc, qac)
+        iq = iq.at[..., 0, 0].add(dc_pred)
+        new_dqdc = iq[..., 0, 0]
+        r = idct(iq, table=ct, dtype=dtype)
+
+        # --- pixel reconstruction ---
+        pred0 = jnp.where(
+            has_up[..., None, None],
+            up_row[..., None, :].astype(dtype),
+            dtype(128.0),
+        ) * jnp.ones((1, 1, 8, 1), dtype)
+        pred1 = jnp.where(
+            has_left[..., None, None],
+            left_col[..., :, None].astype(dtype),
+            dtype(128.0),
+        ) * jnp.ones((1, 1, 1, 8), dtype)
+        pv = ((lsum + usum).astype(dtype) / dtype(16.0))[..., None, None]
+        predsel = jnp.where(m == 0, pred0, jnp.where(m == 1, pred1, pv))
+        rec = jnp.clip(c_trunc(r + predsel), 0, 255)
+
+        # --- scatter (invalid lanes dropped via OOB row index) ---
+        gy_s = jnp.where(v, gy, gh)
+        recon = recon.at[:, gy_s, gx].set(rec, mode="drop")
+        modes = modes.at[:, gy_s, gx].set(mode, mode="drop")
+        dqdc = dqdc.at[:, gy_s, gx].set(new_dqdc, mode="drop")
+        scanq = scanq.at[:, gy_s, gx].set(sc, mode="drop")
+        mpmf = mpmf.at[:, gy_s, gx].set(flag.astype(jnp.int32), mode="drop")
+        mbit = mbit.at[:, gy_s, gx].set(bit, mode="drop")
+        return (recon, modes, dqdc, scanq, mpmf, mbit), None
+
+    init = (
+        jnp.zeros((fdim, gh, gw, 8, 8), jnp.int32),
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+        jnp.zeros((fdim, gh, gw, 64), jnp.int32),
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+    )
+    (recon, modes, dqdc, scanq, mpmf, mbit), _ = jax.lax.scan(
+        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
+    )
+    return dict(recon=recon, modes=modes, scan=scanq, mpm=mpmf, mode_bit=mbit)
+
+
+# ---------------------------------------------------------------------------
+# intra luma decode wavefront (no mode search; modes from MPM bits)
+# ---------------------------------------------------------------------------
+
+
+def intra_luma_decode_scan(r: jnp.ndarray, mpmf: jnp.ndarray, mbit: jnp.ndarray, dtype=jnp.float64):
+    """Reconstruct intra luma pixels from inverse-DCT blocks + mode bits.
+
+    r: (F, gh, gw, 8, 8) float inverse-DCT output (DC chain already
+    applied).  Returns recon blocks (F, gh, gw, 8, 8) int32.
+    """
+    fdim, gh, gw = r.shape[:3]
+    gys, gxs, valid = wavefront_schedule(gh, gw)
+
+    def body(carry, step):
+        recon, modes = carry
+        gy, gx, v = step
+        gyc = jnp.minimum(gy, gh - 1)
+        gxc = jnp.minimum(gx, gw - 1)
+        gyu = jnp.maximum(gyc - 1, 0)
+        gxl = jnp.maximum(gxc - 1, 0)
+        has_up = (gyc > 0)[None, :]
+        has_left = (gxc > 0)[None, :]
+        first = ~has_up & ~has_left
+
+        lm = modes[:, gyc, gxl]
+        um = modes[:, gyu, gxc]
+        ulm = modes[:, gyu, gxl]
+        pred_mode = jnp.where(
+            has_up & has_left, median3(lm, ulm, um), jnp.where(has_left, lm, um)
+        )
+        fl = mpmf[:, gyc, gxc]
+        bt = mbit[:, gyc, gxc]
+        lo = jnp.where(pred_mode == 0, 1, 0)
+        hi = jnp.where(pred_mode == 2, 1, 2)
+        mode = jnp.where(first, 2, jnp.where(fl == 1, pred_mode, jnp.where(bt == 0, lo, hi)))
+
+        up_row = recon[:, gyu, gxc][..., 7, :]
+        left_col = recon[:, gyc, gxl][..., :, 7]
+        lsum = jnp.where(has_left, left_col.sum(-1), 1024)
+        usum = jnp.where(has_up, up_row.sum(-1), 1024)
+        m = mode[..., None, None]
+        pred0 = jnp.where(
+            has_up[..., None, None], up_row[..., None, :].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 8, 1), dtype)
+        pred1 = jnp.where(
+            has_left[..., None, None], left_col[..., :, None].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 1, 8), dtype)
+        pv = ((lsum + usum).astype(dtype) / dtype(16.0))[..., None, None]
+        predsel = jnp.where(m == 0, pred0, jnp.where(m == 1, pred1, pv))
+        rec = jnp.clip(c_trunc(r[:, gyc, gxc] + predsel), 0, 255)
+
+        gy_s = jnp.where(v, gy, gh)
+        recon = recon.at[:, gy_s, gx].set(rec, mode="drop")
+        modes = modes.at[:, gy_s, gx].set(mode, mode="drop")
+        return (recon, modes), None
+
+    init = (
+        jnp.zeros((fdim, gh, gw, 8, 8), jnp.int32),
+        jnp.zeros((fdim, gh, gw), jnp.int32),
+    )
+    (recon, _), _ = jax.lax.scan(
+        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
+    )
+    return recon

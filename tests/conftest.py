@@ -5,13 +5,20 @@ import sys
 
 # Sharding tests need a multi-device mesh; tests run on a virtual 8-device
 # CPU platform unless ICSP_TEST_TPU=1 explicitly requests the real chip.
+# NOTE: the axon TPU plugin overrides the JAX_PLATFORMS *env var*; only
+# jax.config.update reliably selects the CPU backend here.  x64 must also
+# be enabled via config for the exact (float64) conformance path — the
+# TPU's f64 is double-double emulation (~1e-11), not IEEE double.
 if os.environ.get("ICSP_TEST_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))

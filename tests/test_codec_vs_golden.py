@@ -1,0 +1,85 @@
+"""End-to-end: the JAX codec vs the C++ reference's golden artifacts.
+
+Byte-exact bitstreams, encoder reconstructions, and decoder outputs in
+`exact` precision (float64, CPU backend).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from icspcodec_tpu.codec import decode, encode  # noqa: E402
+from icspcodec_tpu.config import CodecConfig  # noqa: E402
+from icspcodec_tpu.io import load_yuv420  # noqa: E402
+from tools.make_content import synth_sequence  # noqa: E402
+
+NF = 32
+W, H = 352, 288
+
+CONFIGS = [
+    ("synthA", 16, 16, 1),
+    ("synthA", 16, 16, 10),
+    ("synthA", 8, 8, 10),
+    ("synthA", 1, 1, 1),
+    ("synthA", 16, 8, 1),
+    ("synthA", 16, 16, 0),
+    ("synthB", 16, 16, 10),
+    ("synthB", 1, 1, 10),
+]
+
+
+@pytest.fixture(scope="module")
+def content():
+    raw = synth_sequence("synthA", NF).tobytes()
+    a = load_yuv420(raw, W, H, NF)
+    raw = synth_sequence("synthB", NF).tobytes()
+    b = load_yuv420(raw, W, H, NF)
+    return {"synthA": a, "synthB": b}
+
+
+@pytest.mark.parametrize("seq,qdc,qac,period", CONFIGS)
+def test_encode_bitexact(golden_dir, content, seq, qdc, qac, period):
+    y, cb, cr = content[seq]
+    cfg = CodecConfig(qp_dc=qdc, qp_ac=qac, intra_period=period)
+    bits, rec = encode(y, cb, cr, cfg)
+    gold = (golden_dir / f"{seq}_compCIF_{qdc}_{qac}_{period}.bin").read_bytes()
+    assert bits == gold
+    gy, gcb, gcr = load_yuv420(
+        (golden_dir / f"{seq}_{qdc}_{qac}_{period}.encrecon.yuv").read_bytes(), W, H, NF
+    )
+    assert np.array_equal(rec["y"], gy)
+    assert np.array_equal(rec["cb"], gcb)
+    assert np.array_equal(rec["cr"], gcr)
+
+
+@pytest.mark.parametrize("seq,qdc,qac,period", [c for c in CONFIGS if c[3] != 0])
+def test_decode_bitexact(golden_dir, content, seq, qdc, qac, period):
+    gold = (golden_dir / f"{seq}_compCIF_{qdc}_{qac}_{period}.bin").read_bytes()
+    dec = decode(gold, NF)
+    gy, gcb, gcr = load_yuv420(
+        (golden_dir / f"{seq}_{qdc}_{qac}_{period}.decrecon.yuv").read_bytes(), W, H, NF
+    )
+    assert np.array_equal(dec["y"], gy)
+    assert np.array_equal(dec["cb"], gcb)
+    assert np.array_equal(dec["cr"], gcr)
+
+
+def test_fast_mode_roundtrip(content):
+    """fast (float32) precision: not bit-pinned to the C++ reference, but
+    must self-roundtrip (our decoder reproduces our encoder's recon on
+    I-frames) and stay PSNR-equivalent."""
+    y, cb, cr = content["synthA"]
+    y, cb, cr = y[:8], cb[:8], cr[:8]
+    cfg = CodecConfig(qp_dc=16, qp_ac=16, intra_period=1, precision="fast")
+    bits, rec = encode(y, cb, cr, cfg)
+    dec = decode(bits, 8, precision="fast")
+    # intra frames: decoder (double table) vs encoder recon (float table)
+    # may differ by +-1 LSB occasionally in fast mode; require near-equality
+    diff = np.abs(dec["y"].astype(int) - rec["y"].astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+    mse = np.mean((dec["y"].astype(float) - y.astype(float)) ** 2)
+    psnr = 20 * np.log10(255.0 / np.sqrt(mse))
+    assert psnr > 30

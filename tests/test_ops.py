@@ -1,0 +1,141 @@
+"""Unit tests: JAX ops vs the NumPy oracle (which is pinned to the C++)."""
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp  # noqa: E402
+
+from icspcodec_tpu import oracle  # noqa: E402
+from icspcodec_tpu.constants import COS_DEC, COS_ENC, SPIRAL  # noqa: E402
+from icspcodec_tpu.ops import (  # noqa: E402
+    dequant_block,
+    fdct,
+    idct,
+    izigzag,
+    median3,
+    median3_mv_y,
+    mv_diff_field,
+    pad_image,
+    spiral_search,
+    zigzag,
+)
+from icspcodec_tpu.ops.quant import quant_block  # noqa: E402
+from icspcodec_tpu import bitstream as bs  # noqa: E402
+
+rng = np.random.default_rng(42)
+
+
+def test_fdct_idct_bitexact_both_tables():
+    err = rng.integers(-255, 256, size=(500, 8, 8)).astype(np.int64)
+    for table in (COS_ENC, COS_DEC):
+        want = oracle.fdct(err, table)
+        got = np.asarray(jax.jit(lambda e: fdct(e, table=table))(err))
+        assert np.array_equal(got, want)
+    iq = rng.integers(-2048, 2048, size=(500, 8, 8)).astype(np.int64)
+    for table in (COS_ENC, COS_DEC):
+        want = oracle.idct(iq, table)
+        got = np.asarray(jax.jit(lambda q: idct(q, table=table))(iq))
+        assert np.array_equal(got, want)
+
+
+def test_quant_rules_negatives():
+    # values straddling the truncation-vs-floor difference
+    d = rng.uniform(-600, 600, size=(1000, 8, 8))
+    d[0, 0, 0] = -32.5  # exact tie
+    d[0, 0, 1] = -0.5
+    d[0, 1, 0] = 0.5
+    for qdc, qac in ((16, 16), (8, 16), (1, 1)):
+        want_l = oracle.quant_luma(d.copy(), qdc, qac)
+        got_l = np.asarray(quant_block(jnp.asarray(d), qdc, qac, chroma=False))
+        assert np.array_equal(got_l, want_l)
+        want_c = oracle.quant_chroma(d.copy(), qdc, qac)
+        got_c = np.asarray(quant_block(jnp.asarray(d), qdc, qac, chroma=True))
+        assert np.array_equal(got_c, want_c)
+        q = rng.integers(-100, 100, size=(50, 8, 8))
+        assert np.array_equal(
+            np.asarray(dequant_block(jnp.asarray(q), qdc, qac)),
+            oracle.dequant(q, qdc, qac),
+        )
+
+
+def test_zigzag_roundtrip():
+    q = rng.integers(-100, 100, size=(30, 8, 8))
+    sc = np.asarray(zigzag(jnp.asarray(q)))
+    assert np.array_equal(sc, oracle.zigzag(q))
+    assert np.array_equal(np.asarray(izigzag(jnp.asarray(sc))), q)
+
+
+def test_pad_quirk():
+    img = rng.integers(0, 256, size=(288, 352)).astype(np.uint8)
+    for p in (16, 8):
+        want = oracle.pad_image(img, p)
+        got = np.asarray(pad_image(jnp.asarray(img), p))
+        assert np.array_equal(got, want)
+        # the quirk: last row/col zero, second-to-last replicated
+        assert got[-1].sum() == 0 and got[:, -1].sum() == 0
+        assert (got[-2, p:-p] == img[-1]).all()
+
+
+def test_medians_incl_typo():
+    a, b, c = (rng.integers(-20, 20, size=1000) for _ in range(3))
+    x3 = rng.integers(-20, 20, size=1000)
+    assert np.array_equal(
+        np.asarray(median3(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))),
+        oracle.c_median3(a, b, c),
+    )
+    assert np.array_equal(
+        np.asarray(
+            median3_mv_y(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), jnp.asarray(x3))
+        ),
+        oracle.c_median3_mv_y(a, b, c, x3),
+    )
+
+
+def test_spiral_search_vs_oracle():
+    prev = rng.integers(0, 256, size=(288, 352)).astype(np.uint8)
+    # build a current frame by shifting so real motion exists
+    cur = np.roll(np.roll(prev, 3, axis=0), -5, axis=1)
+    want = oracle.motion_estimation(cur, prev)
+    pad = pad_image(jnp.asarray(prev), 16)
+    got = np.asarray(spiral_search(jnp.asarray(cur), pad))
+    assert np.array_equal(got, want)
+
+
+def test_spiral_second_zero_rule():
+    # constant frame: every SAD == 0 -> the second spiral candidate (also
+    # offset (0,0)) wins; mv must be (0, 0)
+    prev = np.full((288, 352), 77, np.uint8)
+    got = np.asarray(spiral_search(jnp.asarray(prev), pad_image(jnp.asarray(prev), 16)))
+    # interior MBs see all-zero SADs; candidate 2 is offset (0,0)
+    assert (got[1:-1, 1:-1] == 0).all()
+
+
+def test_mv_diff_field_vs_oracle():
+    mv = rng.integers(-16, 17, size=(18, 22, 2)).astype(np.int64)
+    want = oracle.mv_predict_parallel(mv)
+    got = np.asarray(mv_diff_field(jnp.asarray(mv)))
+    assert np.array_equal(got, want)
+
+
+def test_vlc_encode_vs_oracle():
+    vals = np.concatenate(
+        [np.arange(-4100, 4100), rng.integers(-2048, 2048, size=1000)]
+    )
+    codes, lengths = bs.vlc_encode(vals)
+    for i in rng.choice(vals.size, 300, replace=False):
+        want = oracle.vlc_bits(int(vals[i]))
+        assert lengths[i] == len(want), vals[i]
+        got = [(int(codes[i]) >> (lengths[i] - 1 - j)) & 1 for j in range(lengths[i])]
+        assert got == want, vals[i]
+
+
+def test_pack_items_tail_convention():
+    for nbits in (0, 1, 7, 8, 9, 16, 23):
+        bits = rng.integers(0, 2, size=nbits)
+        w = oracle.BitWriter()
+        w.extend(bits.tolist())
+        want = w.tobytes()
+        got = bs.pack_items(bits.astype(np.uint64), np.ones(nbits, np.int64))
+        assert got == want, nbits
