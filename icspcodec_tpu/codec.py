@@ -25,7 +25,7 @@ import numpy as np
 
 from .config import CodecConfig
 from .constants import COS_DEC, COS_ENC
-from .bitstream import write_bitstream
+from .bitstream import write_bitstream_grouped
 from .engine.inter import decode_inter_frame, encode_gop
 from .engine.intra import decode_intra_frames, encode_intra_frames
 from .oracle import parse_header
@@ -100,32 +100,33 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
             "or use precision='fast'"
         )
 
-    frame_syms: list = [None] * nf
     rec_y = np.zeros_like(y)
     rec_cb = np.zeros_like(cb)
     rec_cr = np.zeros_like(cr)
+    intra_groups: list = []   # (syms dict, frame indices)
+    inter_groups: list = []
 
     def emit_intra(out, idxs):
-        for j, n in enumerate(idxs):
-            sym = {k: out[k][j] for k in _INTRA_KEYS}
-            sym["y_acflag"] = _acflag(sym["y_scan"])
-            frame_syms[n] = (sym, True)
-            rec_y[n], rec_cb[n], rec_cr[n] = (
-                out["recon_y"][j], out["recon_cb"][j], out["recon_cr"][j]
-            )
+        idxs = np.asarray(idxs)
+        sym = {k: out[k] for k in _INTRA_KEYS}
+        sym["y_acflag"] = _acflag(sym["y_scan"])
+        intra_groups.append((sym, idxs))
+        rec_y[idxs] = out["recon_y"]
+        rec_cb[idxs] = out["recon_cb"]
+        rec_cr[idxs] = out["recon_cr"]
 
     if eff == 1:
         with _device_for(exact):
             out = _np(_encode_intra_jit(y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact))
-        emit_intra(out, range(nf))
+        emit_intra(out, np.arange(nf))
     else:
         nfull, rem = divmod(nf, eff)
         batches = []
         if nfull:
-            batches.append((np.arange(nfull * eff).reshape(nfull, eff),))
+            batches.append(np.arange(nfull * eff).reshape(nfull, eff))
         if rem:
-            batches.append((np.arange(nfull * eff, nf).reshape(1, rem),))
-        for (idx,) in batches:
+            batches.append(np.arange(nfull * eff, nf).reshape(1, rem))
+        for idx in batches:
             g, p = idx.shape
             yb = y[idx.ravel()].reshape(g, p, *y.shape[1:])
             cbb = cb[idx.ravel()].reshape(g, p, *cb.shape[1:])
@@ -139,18 +140,30 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
                 )
             emit_intra(intra, idx[:, 0])
             if inter is not None:
-                for gi in range(g):
-                    for pi in range(1, p):
-                        n = int(idx[gi, pi])
-                        sym = {k: inter[k][gi, pi - 1] for k in _INTER_KEYS}
-                        sym["y_acflag"] = _acflag(sym["y_scan"])
-                        frame_syms[n] = (sym, False)
-                        rec_y[n] = inter["recon_y"][gi, pi - 1]
-                        rec_cb[n] = inter["recon_cb"][gi, pi - 1]
-                        rec_cr[n] = inter["recon_cr"][gi, pi - 1]
+                pidx = idx[:, 1:].ravel()
+                sym = {
+                    k: inter[k].reshape(-1, *inter[k].shape[2:]) for k in _INTER_KEYS
+                }
+                sym["y_acflag"] = _acflag(sym["y_scan"])
+                inter_groups.append((sym, pidx))
+                rec_y[pidx] = inter["recon_y"].reshape(-1, *y.shape[1:])
+                rec_cb[pidx] = inter["recon_cb"].reshape(-1, *cb.shape[1:])
+                rec_cr[pidx] = inter["recon_cr"].reshape(-1, *cr.shape[1:])
 
-    bits = write_bitstream(
-        frame_syms, cfg.height, cfg.width, cfg.qp_dc, cfg.qp_ac, cfg.intra_period
+    def merge(groups):
+        if not groups:
+            return None, None
+        syms = {
+            k: np.concatenate([g[0][k] for g in groups]) for k in groups[0][0]
+        }
+        idxs = np.concatenate([g[1] for g in groups])
+        return syms, idxs
+
+    i_syms, i_idx = merge(intra_groups)
+    p_syms, p_idx = merge(inter_groups)
+    bits = write_bitstream_grouped(
+        i_syms, i_idx, p_syms, p_idx, nf,
+        cfg.height, cfg.width, cfg.qp_dc, cfg.qp_ac, cfg.intra_period,
     )
     return bits, dict(y=rec_y, cb=rec_cb, cr=rec_cr)
 

@@ -88,23 +88,29 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
     mv_diff = mv_diff_field(mv)
     out = dict(
         recon_y=recon_y,
-        y_scan=sc,
-        y_acflag=_acflag_from_scan(sc),
-        mv_diff=mv_diff,
+        y_scan=sc.astype(jnp.int16),
+        y_acflag=_acflag_from_scan(sc).astype(jnp.int8),
+        mv_diff=mv_diff.astype(jnp.int16),
     )
 
-    # chroma: mv/2 with C division (CmotionCompensation enc src:2538)
+    # chroma: mv/2 with C division (CmotionCompensation enc src:2538);
+    # Cb and Cr stacked into one batch so the DC scan runs once
     mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
-    for name, plane, prev_plane in (("cb", cur_cb, prev_cb), ("cr", cur_cr, prev_cr)):
-        padc = pad_image(prev_plane, 8)
-        predc = gather_pred(padc.astype(jnp.int32), mvc, 8)
-        err = to_blocks(plane).astype(jnp.int32) - predc
-        c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype)
-        # recon = clamp((int)(pad_pixel + idct)): double sum, trunc to zero
-        rec = jnp.clip(c_trunc(predc.astype(dtype) + c["idct"]), 0, 255)
-        out[f"recon_{name}"] = from_blocks(rec).astype(jnp.uint8)
-        out[f"{name}_scan"] = c["scan"]
-        out[f"{name}_acflag"] = c["acflag"]
+    f = cur_cb.shape[0]
+    planes = jnp.concatenate([cur_cb, cur_cr])
+    prevs = jnp.concatenate([prev_cb, prev_cr])
+    mvc2 = jnp.concatenate([mvc, mvc])
+    padc = pad_image(prevs, 8)
+    predc = gather_pred(padc.astype(jnp.int32), mvc2, 8)
+    err = to_blocks(planes).astype(jnp.int32) - predc
+    c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype)
+    # recon = clamp((int)(pad_pixel + idct)): double sum, trunc to zero
+    rec = from_blocks(jnp.clip(c_trunc(predc.astype(dtype) + c["idct"]), 0, 255))
+    for i, name in enumerate(("cb", "cr")):
+        sl = slice(i * f, (i + 1) * f)
+        out[f"recon_{name}"] = rec[sl].astype(jnp.uint8)
+        out[f"{name}_scan"] = c["scan"][sl].astype(jnp.int16)
+        out[f"{name}_acflag"] = c["acflag"][sl].astype(jnp.int8)
     return out
 
 

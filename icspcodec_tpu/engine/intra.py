@@ -70,21 +70,28 @@ def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: i
     """
     orig = to_blocks(y).astype(jnp.int32)
     lum = intra_luma_scan(orig, qdc, qac, table=table, dtype=dtype)
+    # symbols travel device->host: narrow dtypes halve the transfer
     out = dict(
         recon_y=from_blocks(lum["recon"]).astype(jnp.uint8),
-        y_scan=lum["scan"],
-        y_acflag=_acflag_from_scan(lum["scan"]),
-        mpm=lum["mpm"],
-        mode_bit=lum["mode_bit"],
+        y_scan=lum["scan"].astype(jnp.int16),
+        y_acflag=_acflag_from_scan(lum["scan"]).astype(jnp.int8),
+        mpm=lum["mpm"].astype(jnp.int8),
+        mode_bit=lum["mode_bit"].astype(jnp.int8),
     )
-    for name, plane in (("cb", cb), ("cr", cr)):
-        c = encode_chroma_batch(plane, qdc, qac, table=table, dtype=dtype)
-        # intra chroma recon = clamp((int)idct) (intraImgReconstruct
-        # enc src:1944-1960: truncation toward zero, then clamp)
-        rec = jnp.clip(c_trunc(c["idct"]), 0, 255).astype(jnp.uint8)
-        out[f"recon_{name}"] = from_blocks(rec)
-        out[f"{name}_scan"] = c["scan"]
-        out[f"{name}_acflag"] = c["acflag"]
+    # Cb and Cr share the chain; stack them into one batch (one DC scan)
+    f = cb.shape[0]
+    c = encode_chroma_batch(
+        jnp.concatenate([cb, cr]), qdc, qac, table=table, dtype=dtype
+    )
+    # intra chroma recon = clamp((int)idct) (intraImgReconstruct
+    # enc src:1944-1960: truncation toward zero, then clamp)
+    rec = jnp.clip(c_trunc(c["idct"]), 0, 255).astype(jnp.uint8)
+    rec = from_blocks(rec)
+    for i, name in enumerate(("cb", "cr")):
+        sl = slice(i * f, (i + 1) * f)
+        out[f"recon_{name}"] = rec[sl]
+        out[f"{name}_scan"] = c["scan"][sl].astype(jnp.int16)
+        out[f"{name}_acflag"] = c["acflag"][sl].astype(jnp.int8)
     return out
 
 

@@ -111,7 +111,104 @@ def _dc_pred(kind, l, ul, u, ur):
 
 # ---------------------------------------------------------------------------
 # generic DC DPCM chains (inter luma, chroma, and the decoder inverses)
+#
+# Diagonal-packed layout: the grid is re-packed to (nsteps, F, nmax) with
+# lane = gy - gy_min(step) BEFORE the scan, so each scan step only reads
+# shifted lanes of the previous three step-rows (tiny (F, nmax) arrays)
+# instead of gathering/scattering the full (F, gh, gw) grid.  All
+# neighbor lanes are `lane + per-step-constant`:
+#   left  (gy, gx-1)  in step d-1 at lane + gy_min(d)   - gy_min(d-1)
+#   up    (gy-1, gx)  in step d-2 at lane + gy_min(d)-1 - gy_min(d-2)
+#   ul    (gy-1,gx-1) in step d-3 at lane + gy_min(d)-1 - gy_min(d-3)
+#   ur    (gy-1,gx+1) in step d-1 at lane + gy_min(d)-1 - gy_min(d-1)
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def diag_layout(gh: int, gw: int):
+    """Packed-diagonal layout tables for a (gh, gw) grid."""
+    nsteps = 2 * (gh - 1) + gw
+    gy_min = np.zeros(nsteps + 3, dtype=np.int64)  # +3: safe d-3 lookups
+    counts = np.zeros(nsteps, dtype=np.int64)
+    for d in range(nsteps):
+        lo = max(0, -((gw - 1 - d) // 2)) if d >= gw else 0
+        lo = max(0, (d - (gw - 1) + 1) // 2)
+        hi = min(gh - 1, d // 2)
+        gy_min[d] = lo
+        counts[d] = max(0, hi - lo + 1)
+    nmax = int(counts.max())
+    # pack/unpack index maps
+    pack_idx = np.full((nsteps, nmax), gh * gw, dtype=np.int64)  # OOB sentinel
+    cell_step = np.zeros((gh, gw), dtype=np.int64)
+    cell_lane = np.zeros((gh, gw), dtype=np.int64)
+    for gy in range(gh):
+        for gx in range(gw):
+            d = 2 * gy + gx
+            lane = gy - gy_min[d]
+            pack_idx[d, lane] = gy * gw + gx
+            cell_step[gy, gx] = d
+            cell_lane[gy, gx] = lane
+    shifts = np.zeros((nsteps, 4), dtype=np.int64)  # l, u, ul, ur lane shifts
+    for d in range(nsteps):
+        shifts[d, 0] = gy_min[d] - gy_min[d - 1] if d >= 1 else 0
+        shifts[d, 1] = gy_min[d] - 1 - gy_min[d - 2] if d >= 2 else 0
+        shifts[d, 2] = gy_min[d] - 1 - gy_min[d - 3] if d >= 3 else 0
+        shifts[d, 3] = gy_min[d] - 1 - gy_min[d - 1] if d >= 1 else 0
+    return nsteps, nmax, pack_idx, cell_step, cell_lane, shifts
+
+
+def _pack_diag(x: jnp.ndarray, gh: int, gw: int):
+    """(F, gh, gw) -> (nsteps, F, nmax), OOB lanes zero-filled."""
+    nsteps, nmax, pack_idx, _, _, _ = diag_layout(gh, gw)
+    flat = jnp.asarray(x).reshape(x.shape[0], gh * gw)
+    padded = jnp.concatenate(
+        [flat, jnp.zeros((x.shape[0], 1), flat.dtype)], axis=1
+    )
+    out = padded[:, pack_idx]                     # (F, nsteps, nmax)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def _unpack_diag(rows: jnp.ndarray, gh: int, gw: int):
+    """(nsteps, F, nmax) -> (F, gh, gw)."""
+    _, _, _, cell_step, cell_lane, _ = diag_layout(gh, gw)
+    return rows[cell_step, :, cell_lane].transpose(
+        2, 0, 1
+    )
+
+
+def _lane_take(row: jnp.ndarray, shift, nmax: int):
+    """row: (F, nmax); returns row shifted so out[.., lane] = row[.., lane+shift]."""
+    idx = jnp.clip(jnp.arange(nmax) + shift, 0, nmax - 1)
+    return row[:, idx]
+
+
+def _dc_chain_scan(vals, kind, gh, gw, step_fn, out_dtypes):
+    """Shared machinery: scan over packed diagonals with 3-row history.
+
+    step_fn(val_row, pred) -> (dq_row, extra_row or None)."""
+    fdim = vals.shape[0]
+    nsteps, nmax, _, _, _, shifts = diag_layout(gh, gw)
+    kind_rows = _pack_diag(np.asarray(kind)[None], gh, gw)[:, 0]
+    val_rows = _pack_diag(vals, gh, gw)
+
+    def body(carry, xs):
+        r1, r2, r3 = carry  # dq rows of steps d-1, d-2, d-3
+        vrow, krow, sh = xs
+        l = _lane_take(r1, sh[0], nmax)
+        u = _lane_take(r2, sh[1], nmax)
+        ul = _lane_take(r3, sh[2], nmax)
+        ur = _lane_take(r1, sh[3], nmax)
+        pred = _dc_pred(krow[None, :], l, ul, u, ur)
+        dq, extra = step_fn(vrow, pred)
+        return (dq, r1, r2), (dq, extra)
+
+    zero = jnp.zeros((fdim, nmax), jnp.int32)
+    (_, _, _), (dq_rows, extra_rows) = jax.lax.scan(
+        body,
+        (zero, zero, zero),
+        (val_rows, kind_rows, shifts),
+    )
+    return dq_rows, extra_rows
 
 
 def dc_dpcm_scan(dc: jnp.ndarray, kind: np.ndarray, qstep: int, chroma: bool):
@@ -121,41 +218,17 @@ def dc_dpcm_scan(dc: jnp.ndarray, kind: np.ndarray, qstep: int, chroma: bool):
     dc: (F, gh, gw) float DCT DC values.  Returns (q_dc, dq_dc) int32.
     """
     fdim, gh, gw = dc.shape
-    gys, gxs, valid = wavefront_schedule(gh, gw)
-    kindg = jnp.asarray(kind)
 
-    def body(carry, step):
-        qdc_g, dqdc_g = carry
-        gy, gx, v = step
-        gyc = jnp.minimum(gy, gh - 1)
-        gxc = jnp.minimum(gx, gw - 1)
-        gyu = jnp.maximum(gyc - 1, 0)
-        gxl = jnp.maximum(gxc - 1, 0)
-        gxr = jnp.minimum(gxc + 1, gw - 1)
-        l = dqdc_g[:, gyc, gxl]
-        u = dqdc_g[:, gyu, gxc]
-        ul = dqdc_g[:, gyu, gxl]
-        ur = dqdc_g[:, gyu, gxr]
-        kv = kindg[gyc, gxc]
-        pred = _dc_pred(kv[None, :], l, ul, u, ur)
-        resid = dc[:, gyc, gxc] - pred.astype(dc.dtype)
+    def step(vrow, pred):
+        resid = vrow - pred.astype(vrow.dtype)
         half = resid + 0.5
         t = jnp.floor(half).astype(jnp.int32) if chroma else c_trunc(half)
         q = c_div(t, qstep)
         dq = q * qstep + pred
-        gy_s = jnp.where(v, gy, gh)
-        qdc_g = qdc_g.at[:, gy_s, gx].set(q, mode="drop")
-        dqdc_g = dqdc_g.at[:, gy_s, gx].set(dq, mode="drop")
-        return (qdc_g, dqdc_g), None
+        return dq, q
 
-    init = (
-        jnp.zeros((fdim, gh, gw), jnp.int32),
-        jnp.zeros((fdim, gh, gw), jnp.int32),
-    )
-    (q_dc, dq_dc), _ = jax.lax.scan(
-        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
-    )
-    return q_dc, dq_dc
+    dq_rows, q_rows = _dc_chain_scan(dc, kind, gh, gw, step, None)
+    return _unpack_diag(q_rows, gh, gw), _unpack_diag(dq_rows, gh, gw)
 
 
 def idc_dpcm_scan(iq_dc: jnp.ndarray, kind: np.ndarray):
@@ -165,31 +238,13 @@ def idc_dpcm_scan(iq_dc: jnp.ndarray, kind: np.ndarray):
     reconstructed dequantized DC field (F, gh, gw) int32.
     """
     fdim, gh, gw = iq_dc.shape
-    gys, gxs, valid = wavefront_schedule(gh, gw)
-    kindg = jnp.asarray(kind)
 
-    def body(dqdc_g, step):
-        gy, gx, v = step
-        gyc = jnp.minimum(gy, gh - 1)
-        gxc = jnp.minimum(gx, gw - 1)
-        gyu = jnp.maximum(gyc - 1, 0)
-        gxl = jnp.maximum(gxc - 1, 0)
-        gxr = jnp.minimum(gxc + 1, gw - 1)
-        l = dqdc_g[:, gyc, gxl]
-        u = dqdc_g[:, gyu, gxc]
-        ul = dqdc_g[:, gyu, gxl]
-        ur = dqdc_g[:, gyu, gxr]
-        kv = kindg[gyc, gxc]
-        pred = _dc_pred(kv[None, :], l, ul, u, ur)
-        dq = iq_dc[:, gyc, gxc] + pred
-        gy_s = jnp.where(v, gy, gh)
-        return dqdc_g.at[:, gy_s, gx].set(dq, mode="drop"), None
+    def step(vrow, pred):
+        dq = vrow + pred
+        return dq, dq
 
-    init = jnp.zeros((fdim, gh, gw), jnp.int32)
-    out, _ = jax.lax.scan(
-        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
-    )
-    return out
+    dq_rows, _ = _dc_chain_scan(iq_dc, kind, gh, gw, step, None)
+    return _unpack_diag(dq_rows, gh, gw)
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +262,7 @@ def intra_luma_scan(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=
     fdim, gh, gw = orig.shape[:3]
     gys, gxs, valid = wavefront_schedule(gh, gw)
     kindg = jnp.asarray(luma_dc_kind(gh, gw))
-    ct = jnp.asarray(table, dtype=dtype)
+    ct = np.asarray(table, dtype=dtype)
 
     def body(carry, step):
         recon, modes, dqdc, scanq, mpmf, mbit = carry
@@ -321,7 +376,7 @@ def intra_luma_scan(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=
         jnp.zeros((fdim, gh, gw), jnp.int32),
     )
     (recon, modes, dqdc, scanq, mpmf, mbit), _ = jax.lax.scan(
-        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
+        body, init, (gys, gxs, valid)
     )
     return dict(recon=recon, modes=modes, scan=scanq, mpm=mpmf, mode_bit=mbit)
 
@@ -388,6 +443,6 @@ def intra_luma_decode_scan(r: jnp.ndarray, mpmf: jnp.ndarray, mbit: jnp.ndarray,
         jnp.zeros((fdim, gh, gw), jnp.int32),
     )
     (recon, _), _ = jax.lax.scan(
-        body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid))
+        body, init, (gys, gxs, valid)
     )
     return recon

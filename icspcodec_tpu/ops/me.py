@@ -29,7 +29,10 @@ def spiral_search(cur_y: jnp.ndarray, pad_prev: jnp.ndarray, bs: int = 16) -> jn
     h, w = cur_y.shape[-2], cur_y.shape[-1]
     mbh, mbw = h // bs, w // bs
     lead = cur_y.shape[:-2]
-    cur = cur_y.reshape(lead + (mbh, bs, mbw, bs)).astype(jnp.int32)
+    cur = cur_y.reshape(lead + (mbh, bs, mbw, bs))  # stay uint8: the SAD
+    # loop is HBM-bandwidth-bound (64 reads of the padded frame), so the
+    # absolute difference runs in u8 (max-min) and only the reduction
+    # widens to int32
 
     # stack the 64 shifted windows: static slices, unrolled at trace time
     sads = []
@@ -40,8 +43,9 @@ def spiral_search(cur_y: jnp.ndarray, pad_prev: jnp.ndarray, bs: int = 16) -> jn
             bs + int(ox) + w,
             axis=-1,
         )
-        win = win.reshape(lead + (mbh, bs, mbw, bs)).astype(jnp.int32)
-        sad = jnp.abs(cur - win).sum(axis=(-3, -1))  # (..., mbh, mbw)
+        win = win.reshape(lead + (mbh, bs, mbw, bs))
+        diff = jnp.maximum(cur, win) - jnp.minimum(cur, win)  # |a-b| in u8
+        sad = diff.astype(jnp.int32).sum(axis=(-3, -1))  # (..., mbh, mbw)
         sads.append(sad)
     sads = jnp.stack(sads, axis=-3)  # (..., 64, mbh, mbw)
 
@@ -53,8 +57,9 @@ def spiral_search(cur_y: jnp.ndarray, pad_prev: jnp.ndarray, bs: int = 16) -> jn
     second_idx = jnp.argmax(is_second_zero, axis=-3)
     best = jnp.where(has_second, second_idx, best)
 
-    spiral = jnp.asarray(SPIRAL)  # (64, 2) as (x, y)
-    return -spiral[best]  # (..., mbh, mbw, 2)
+    # numpy constant (a trace-time jnp constant would force a slow
+    # device->host readback at lowering); mv = -(chosen offset)
+    return jnp.take(-np.asarray(SPIRAL), best, axis=0)
 
 
 def gather_pred(pad: jnp.ndarray, mv: jnp.ndarray, bs: int) -> jnp.ndarray:
@@ -64,25 +69,23 @@ def gather_pred(pad: jnp.ndarray, mv: jnp.ndarray, bs: int) -> jnp.ndarray:
     it into a vectorized dynamic-gather; no per-block loop.
     """
     mbh, mbw = mv.shape[-3], mv.shape[-2]
-    pw = pad.shape[-1]
     by = jnp.arange(mbh, dtype=jnp.int32) * bs
     bx = jnp.arange(mbw, dtype=jnp.int32) * bs
-    ry = by[:, None] - mv[..., 1] + bs  # (..., mbh, mbw)
-    rx = bx[None, :] - mv[..., 0] + bs
-    yy = jnp.arange(bs, dtype=jnp.int32)
-    # flat index (..., mbh, mbw, bs, bs)
-    idx = (
-        (ry[..., None, None] + yy[:, None]) * pw
-        + rx[..., None, None]
-        + yy[None, :]
-    )
-    flat = pad.reshape(pad.shape[:-2] + (-1,))
-    if flat.ndim == 1:
-        return flat[idx]
-    # one leading batch axis: broadcast-gather along it
-    tgt = idx.reshape(idx.shape[0], -1)
-    out = jnp.take_along_axis(flat, tgt, axis=-1)
-    return out.reshape(idx.shape)
+    ry = (by[:, None] - mv[..., 1] + bs).reshape(mv.shape[:-3] + (mbh * mbw,))
+    rx = (bx[None, :] - mv[..., 0] + bs).reshape(mv.shape[:-3] + (mbh * mbw,))
+
+    # vmapped dynamic_slice lowers to a gather of whole (bs, bs) tiles —
+    # orders of magnitude cheaper on TPU than per-pixel flat gathers
+    def slice_one(img, y0, x0):
+        return jax.lax.dynamic_slice(img, (y0, x0), (bs, bs))
+
+    per_mb = jax.vmap(slice_one, in_axes=(None, 0, 0))
+    if pad.ndim == 2:
+        out = per_mb(pad, ry, rx)
+        return out.reshape(mbh, mbw, bs, bs)
+    per_batch = jax.vmap(per_mb, in_axes=(0, 0, 0))
+    out = per_batch(pad, ry, rx)
+    return out.reshape(pad.shape[:-2] + (mbh, mbw, bs, bs))
 
 
 def mv_diff_field(mv: jnp.ndarray) -> jnp.ndarray:

@@ -5,8 +5,11 @@ import jax.numpy as jnp
 
 from ..constants import IZIGZAG, ZIGZAG
 
-_ZZ = jnp.asarray(ZIGZAG)
-_IZZ = jnp.asarray(IZIGZAG)
+# numpy constants: trace-time jnp constants land on the default device and
+# force a device->host readback at lowering (very slow through the axon
+# tunnel); numpy arrays lower directly
+_ZZ = ZIGZAG
+_IZZ = IZIGZAG
 
 
 def zigzag(q: jnp.ndarray) -> jnp.ndarray:

@@ -12,6 +12,8 @@ COS_DEC double) — see constants.py for why.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,40 @@ def _mm_exact(a: jnp.ndarray, rowsel, ct_cols) -> jnp.ndarray:
     return acc
 
 
+@functools.lru_cache(maxsize=None)
+def _fdct_matrix(table_key: str, dtype: str) -> np.ndarray:
+    """64x64 forward-DCT matrix: out[vu, yx] = s[v,u] * C[v,y] * C[u,x]
+    with s folding the irt2 row/col weights and the global 1/4."""
+    ct = np.asarray(_TABLES[table_key], dtype=np.float64)
+    s = np.ones((8, 8))
+    s[0, :] *= IRT2
+    s[:, 0] *= IRT2
+    s *= 0.25
+    m = np.einsum("vu,vy,ux->vuyx", s, ct, ct).reshape(64, 64)
+    return m.astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _idct_matrix(table_key: str, dtype: str) -> np.ndarray:
+    """64x64 inverse-DCT matrix: out[yx, vu] = Cu[u]*Cv[v]/4 * C[v,y]*C[u,x]."""
+    ct = np.asarray(_TABLES[table_key], dtype=np.float64)
+    cu = np.ones(8)
+    cu[0] = IRT2
+    m = np.einsum("v,u,vy,ux->yxvu", cu * 0.5, cu * 0.5, ct, ct).reshape(64, 64)
+    return m.astype(dtype)
+
+
+_TABLES = {"enc": None, "dec": None}
+
+
+def _table_key(table: np.ndarray) -> str:
+    from ..constants import COS_DEC
+
+    key = "enc" if np.array_equal(table, COS_ENC) else "dec"
+    _TABLES[key] = COS_ENC if key == "enc" else COS_DEC
+    return key
+
+
 def fdct(err: jnp.ndarray, table: np.ndarray = COS_ENC, dtype=jnp.float64) -> jnp.ndarray:
     """Forward DCT of (..., 8, 8) integer residuals.
 
@@ -53,7 +89,7 @@ def fdct(err: jnp.ndarray, table: np.ndarray = COS_ENC, dtype=jnp.float64) -> jn
     MXU-friendly einsum fast path.
     """
     e = err.astype(dtype)
-    ct = jnp.asarray(table, dtype=dtype)
+    ct = np.asarray(table, dtype=dtype)
     if dtype == jnp.float64:
         # t1[..., v, u] = sum_x e[..., v, x] * ct[u, x]
         t1 = _mm_exact(e, lambda a, x: a[..., :, x, None], lambda x: ct[:, x])
@@ -64,11 +100,15 @@ def fdct(err: jnp.ndarray, table: np.ndarray = COS_ENC, dtype=jnp.float64) -> jn
         out = out.at[..., 0, :].set(_mulr(out[..., 0, :], dtype(IRT2)))
         out = out.at[..., :, 0].set(_mulr(out[..., :, 0], dtype(IRT2)))
         return _mulr(out, dtype(0.25))
-    t1 = jnp.einsum("...vx,ux->...vu", e, ct)
-    out = jnp.einsum("...yu,vy->...vu", t1, ct)
-    out = out.at[..., 0, :].multiply(dtype(IRT2))
-    out = out.at[..., :, 0].multiply(dtype(IRT2))
-    return out * dtype(0.25)
+    # fast path: one 64x64 matmul on the MXU.  The separable transform is
+    # kron(C, C) with the irt2 row/col scaling and the 1/4 folded into the
+    # matrix (float32 only: folding changes rounding, which the fast path
+    # does not pin).  K=N=64 keeps the systolic array fed, vs. the 8-wide
+    # contractions of the separable form.
+    m = _fdct_matrix(_table_key(table), np.dtype(dtype).name)
+    flat = e.reshape(e.shape[:-2] + (64,))
+    out = jnp.einsum("...k,ok->...o", flat, m, preferred_element_type=dtype)
+    return out.reshape(e.shape)
 
 
 def idct(iq: jnp.ndarray, table: np.ndarray, dtype=jnp.float64) -> jnp.ndarray:
@@ -79,8 +119,9 @@ def idct(iq: jnp.ndarray, table: np.ndarray, dtype=jnp.float64) -> jnp.ndarray:
     accumulated (IDCT_block enc src:2857-2878).
     """
     q = iq.astype(dtype)
-    ct = jnp.asarray(table, dtype=dtype)
-    cu = jnp.ones((8,), dtype=dtype).at[0].set(dtype(IRT2))
+    ct = np.asarray(table, dtype=dtype)
+    cu = np.ones((8,), dtype=np.dtype(dtype))
+    cu[0] = IRT2
     if dtype == jnp.float64:
         m = _mulr(q, cu[None, :])
         t1 = _mm_exact(m, lambda a, u: a[..., :, u, None], lambda u: ct[u, :])
@@ -89,8 +130,7 @@ def idct(iq: jnp.ndarray, table: np.ndarray, dtype=jnp.float64) -> jnp.ndarray:
             n, lambda a, v: a[..., v, None, :], lambda v: ct[v, :][:, None]
         )
         return _mulr(out, dtype(0.25))
-    m = q * cu[None, :]
-    t1 = jnp.einsum("...yu,ux->...yx", m, ct)
-    n = t1 * cu[:, None]
-    out = jnp.einsum("...vx,vy->...yx", n, ct)
-    return out * dtype(0.25)
+    m = _idct_matrix(_table_key(table), np.dtype(dtype).name)
+    flat = q.astype(dtype).reshape(q.shape[:-2] + (64,))
+    out = jnp.einsum("...k,ok->...o", flat, m, preferred_element_type=dtype)
+    return out.reshape(q.shape[:-2] + (8, 8))

@@ -36,8 +36,25 @@ def _lib():
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int,
         ] + [ctypes.c_void_p] * 9
+        lib.pack_items.restype = ctypes.c_long
+        lib.pack_items.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ]
         _LIB = lib
     return _LIB
+
+
+def pack_items_native(codes: np.ndarray, lengths: np.ndarray) -> bytes:
+    """MSB-first pack of (code, length<=56) items, reference tail rule."""
+    total = int(lengths.sum())
+    out = np.zeros(total // 8 + 1, dtype=np.uint8)
+    n = _lib().pack_items(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        lengths.ctypes.data_as(ctypes.c_void_p),
+        codes.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:n].tobytes()
 
 
 def parse_body(body: bytes, nframes: int, height: int, width: int, period: int):

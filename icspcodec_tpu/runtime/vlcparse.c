@@ -133,3 +133,28 @@ long parse_frames(
     }
     return br.pos;
 }
+
+/* MSB-first bit packer: items are (code, length) pairs with right-aligned
+ * code bits.  Replicates the reference's tail convention (makebitstream):
+ * the final partial byte keeps its bits in the LOW positions and one extra
+ * zero byte is appended when the stream ends byte-aligned.
+ * Returns the number of bytes written into out (caller sizes it as
+ * total_bits/8 + 1). */
+long pack_items(const uint64_t *codes, const int64_t *lengths, long n,
+                uint8_t *out) {
+    uint64_t acc = 0;   /* bit accumulator, MSB-first in low `fill` bits */
+    int fill = 0;
+    long nbytes = 0;
+    for (long i = 0; i < n; i++) {
+        int len = (int)lengths[i];
+        acc = (acc << len) | (codes[i] & ((len >= 64) ? ~0ULL : ((1ULL << len) - 1)));
+        fill += len;
+        while (fill >= 8) {
+            out[nbytes++] = (uint8_t)(acc >> (fill - 8));
+            fill -= 8;
+        }
+    }
+    /* tail: remaining bits stay in the LOW positions of the last byte */
+    out[nbytes++] = (uint8_t)(acc & ((fill >= 64) ? ~0ULL : ((1ULL << fill) - 1)));
+    return nbytes;
+}
