@@ -1,0 +1,452 @@
+"""Spatial (macroblock-tile) parallelism with halo exchange.
+
+The reference has no intra-frame parallelism — its raster wavefront is
+strictly sequential (SURVEY.md section 2.3).  This module shards the MB
+grid of a frame across a `tile` mesh axis (columns of 8x8 blocks) and
+keeps *bit-exact* codec semantics at the seams:
+
+* the anti-diagonal wavefront advances in global lockstep on every tile;
+* after each step a tile sends its just-computed last-column state
+  (reconstructed pixel column, intra mode, dequantized DC) one tile to
+  the right via lax.ppermute, and its first-column dequantized DC one
+  tile to the left (the DC predictor's upper-right neighbor is the only
+  leftward dependency);
+* each tile keeps per-row boundary buffers of everything received, so
+  first-column cells read their left/upper-left neighbors exactly as the
+  single-device engine would.
+
+This is the codec analog of context/sequence parallelism: the "sequence"
+is the MB raster, halos are one block column deep, and the collectives
+ride the `tile` axis (ICI on a real slice).
+
+Equality with the single-device engine is pinned by tests/test_tiles.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import COS_ENC
+from ..ops.medians import median3
+from ..ops.quant import c_div, c_trunc, dequant_block, quant_block
+from ..ops.scanorder import zigzag
+from ..ops.transforms import fdct, idct
+from ..engine.wavefront import luma_dc_kind
+
+
+# ---------------------------------------------------------------------------
+# per-tile schedules
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def tiled_schedule(gh: int, gw: int, ntiles: int):
+    """Global-lockstep wavefront schedule split into column tiles.
+
+    Returns numpy arrays indexed [tile, step, lane]:
+      gy, gxl (local column), valid — plus per [tile, step]:
+      send_r_gy  (row of the last-column cell computed this step, -1 if none)
+      send_l_gy  (row of the first-column cell computed this step, -1 if none)
+    """
+    assert gw % ntiles == 0
+    gwl = gw // ntiles
+    nsteps = 2 * (gh - 1) + gw
+    nmax = min(gh, (gwl + 1) // 2 + 1)
+    gys = np.full((ntiles, nsteps, nmax), gh, dtype=np.int32)
+    gxs = np.full((ntiles, nsteps, nmax), gwl, dtype=np.int32)
+    valid = np.zeros((ntiles, nsteps, nmax), dtype=bool)
+    send_r = np.full((ntiles, nsteps), -1, dtype=np.int32)
+    send_l = np.full((ntiles, nsteps), -1, dtype=np.int32)
+    for t in range(ntiles):
+        x0 = t * gwl
+        for d in range(nsteps):
+            lane = 0
+            for gy in range(gh):
+                gx = d - 2 * gy
+                if x0 <= gx < x0 + gwl:
+                    gys[t, d, lane] = gy
+                    gxs[t, d, lane] = gx - x0
+                    valid[t, d, lane] = True
+                    if gx - x0 == gwl - 1:
+                        send_r[t, d] = gy
+                    if gx - x0 == 0:
+                        send_l[t, d] = gy
+                    lane += 1
+    return gys, gxs, valid, send_r, send_l
+
+
+# ---------------------------------------------------------------------------
+# tiled intra luma wavefront (inside shard_map, axis name "tile")
+# ---------------------------------------------------------------------------
+
+
+def intra_luma_scan_tiled(orig_local: jnp.ndarray, qdc: int, qac: int, gw: int, ntiles: int, axis: str = "tile", table=COS_ENC, dtype=jnp.float32):
+    """Per-shard body of the tiled intra luma encoder.
+
+    orig_local: (F, gh, gwl, 8, 8) int32 — this tile's block columns.
+    Must run inside shard_map with mesh axis `axis` of size ntiles.
+    Semantics identical to engine.wavefront.intra_luma_scan.
+    """
+    fdim, gh, gwl = orig_local.shape[:3]
+    t_idx = jax.lax.axis_index(axis)
+    right = [(i, (i + 1) % ntiles) for i in range(ntiles)]
+    left = [(i, (i - 1) % ntiles) for i in range(ntiles)]
+
+    gys_all, gxs_all, valid_all, send_r_all, send_l_all = tiled_schedule(gh, gw, ntiles)
+    gys = jnp.asarray(gys_all)[t_idx]
+    gxs = jnp.asarray(gxs_all)[t_idx]
+    valid = jnp.asarray(valid_all)[t_idx]
+    send_r = jnp.asarray(send_r_all)[t_idx]
+    send_l = jnp.asarray(send_l_all)[t_idx]
+
+    kind_full = luma_dc_kind(gh, gw)
+    gwl_ = gw // ntiles
+    kindg = jnp.asarray(
+        np.stack([kind_full[:, t * gwl_:(t + 1) * gwl_] for t in range(ntiles)])
+    )[t_idx]
+    ct = np.asarray(table, dtype=dtype)
+    is_first_tile = t_idx == 0
+    is_last_tile = t_idx == ntiles - 1
+
+    def body(carry, step):
+        (recon, modes, dqdc, scanq, mpmf, mbit,
+         lb_col, lb_mode, lb_dqdc, rb_dqdc,
+         send_r_payload, send_l_payload) = carry
+        gy, gxl, v, sr_gy, sl_gy = step
+
+        # --- exchange: deliver last step's boundary state ---
+        recv_r = jax.lax.ppermute(send_r_payload, axis, right)   # from left
+        recv_l = jax.lax.ppermute(send_l_payload, axis, left)    # from right
+        rc, rm, rd, rgy, rvalid = recv_r
+        lb_gy = jnp.maximum(rgy, 0)
+        upd = rvalid & ~is_first_tile
+        lb_col = jnp.where(upd, lb_col.at[:, lb_gy].set(rc), lb_col)
+        lb_mode = jnp.where(upd, lb_mode.at[:, lb_gy].set(rm), lb_mode)
+        lb_dqdc = jnp.where(upd, lb_dqdc.at[:, lb_gy].set(rd), lb_dqdc)
+        ld, lgy, lvalid = recv_l
+        rb_gy = jnp.maximum(lgy, 0)
+        updl = lvalid & ~is_last_tile
+        rb_dqdc = jnp.where(updl, rb_dqdc.at[:, rb_gy].set(ld), rb_dqdc)
+
+        # --- gather cell context ---
+        gyc = jnp.minimum(gy, gh - 1)
+        gxc = jnp.minimum(gxl, gwl - 1)
+        gyu = jnp.maximum(gyc - 1, 0)
+        gxleft = jnp.maximum(gxc - 1, 0)
+        gxr = jnp.minimum(gxc + 1, gwl - 1)
+        first_col = gxc == 0                       # (N,) local first column
+        gx_global = gxc + t_idx * gwl
+        has_up = (gyc > 0)[None, :]
+        has_left = (gx_global > 0)[None, :]
+        first = ~has_up & ~has_left
+
+        cur = orig_local[:, gyc, gxc]
+        up_row = recon[:, gyu, gxc][..., 7, :]
+        left_local = recon[:, gyc, gxleft][..., :, 7]
+        left_col = jnp.where(
+            first_col[None, :, None], lb_col[:, gyc], left_local
+        )
+
+        # --- mode search (identical math to the single-device engine) ---
+        e0 = cur - up_row[..., None, :]
+        e1 = cur - left_col[..., :, None]
+        lsum = jnp.where(has_left, left_col.sum(-1), 1024)
+        usum = jnp.where(has_up, up_row.sum(-1), 1024)
+        d16 = 16 * cur - (lsum + usum)[..., None, None]
+        e2 = jnp.sign(d16) * (jnp.abs(d16) // 16)
+        sae0 = jnp.abs(e0).sum((-2, -1))
+        sae1 = jnp.abs(e1).sum((-2, -1))
+        sae2 = jnp.abs(e2).sum((-2, -1))
+        mode_both = jnp.where(
+            (sae0 <= sae1) & (sae0 <= sae2), 0, jnp.where(sae1 <= sae2, 1, 2)
+        )
+        mode = jnp.where(
+            first,
+            2,
+            jnp.where(
+                has_up & has_left,
+                mode_both,
+                jnp.where(has_left, jnp.where(sae2 > sae1, 1, 2), jnp.where(sae2 > sae0, 0, 2)),
+            ),
+        )
+        m = mode[..., None, None]
+        err = jnp.where(m == 0, e0, jnp.where(m == 1, e1, e2))
+
+        lm_local = modes[:, gyc, gxleft]
+        lm = jnp.where(first_col[None, :], lb_mode[:, gyc], lm_local)
+        um = modes[:, gyu, gxc]
+        ulm_local = modes[:, gyu, gxleft]
+        ulm = jnp.where(first_col[None, :], lb_mode[:, gyu], ulm_local)
+        pred_mode = jnp.where(
+            has_up & has_left, median3(lm, ulm, um), jnp.where(has_left, lm, um)
+        )
+        flag = (mode == pred_mode) & ~first
+        bit = jnp.where(
+            flag | first, 0, jnp.where(pred_mode == 2, (mode == 1), (mode == 2))
+        ).astype(jnp.int32)
+
+        # --- transform chain ---
+        dct = fdct(err, table=ct, dtype=dtype)
+        l_dc = jnp.where(first_col[None, :], lb_dqdc[:, gyc], dqdc[:, gyc, gxleft])
+        ul_dc = jnp.where(first_col[None, :], lb_dqdc[:, gyu], dqdc[:, gyu, gxleft])
+        u_dc = dqdc[:, gyu, gxc]
+        last_col = gxc == gwl - 1
+        ur_dc = jnp.where(last_col[None, :], rb_dqdc[:, gyu], dqdc[:, gyu, gxr])
+        kv = kindg[gyc, gxc]
+        from ..engine.wavefront import _dc_pred
+
+        dc_pred = _dc_pred(kv[None, :], l_dc, ul_dc, u_dc, ur_dc)
+        dct = dct.at[..., 0, 0].set(dct[..., 0, 0] - dc_pred.astype(dtype))
+        q = quant_block(dct, qdc, qac, chroma=False)
+        sc = zigzag(q)
+        iq = dequant_block(q, qdc, qac)
+        iq = iq.at[..., 0, 0].add(dc_pred)
+        new_dqdc = iq[..., 0, 0]
+        r = idct(iq, table=ct, dtype=dtype)
+
+        pred0 = jnp.where(
+            has_up[..., None, None], up_row[..., None, :].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 8, 1), dtype)
+        pred1 = jnp.where(
+            has_left[..., None, None], left_col[..., :, None].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 1, 8), dtype)
+        pv = ((lsum + usum).astype(dtype) / dtype(16.0))[..., None, None]
+        predsel = jnp.where(m == 0, pred0, jnp.where(m == 1, pred1, pv))
+        rec = jnp.clip(c_trunc(r + predsel), 0, 255)
+
+        gy_s = jnp.where(v, gy, gh)
+        recon = recon.at[:, gy_s, gxl].set(rec, mode="drop")
+        modes = modes.at[:, gy_s, gxl].set(mode, mode="drop")
+        dqdc = dqdc.at[:, gy_s, gxl].set(new_dqdc, mode="drop")
+        scanq = scanq.at[:, gy_s, gxl].set(sc, mode="drop")
+        mpmf = mpmf.at[:, gy_s, gxl].set(flag.astype(jnp.int32), mode="drop")
+        mbit = mbit.at[:, gy_s, gxl].set(bit, mode="drop")
+
+        # --- prepare boundary payloads for the next step ---
+        sr = jnp.maximum(sr_gy, 0)
+        send_r_payload = (
+            recon[:, sr, gwl - 1][..., :, 7],   # (F, 8) pixel column
+            modes[:, sr, gwl - 1],
+            dqdc[:, sr, gwl - 1],
+            sr_gy,
+            sr_gy >= 0,
+        )
+        sl = jnp.maximum(sl_gy, 0)
+        send_l_payload = (dqdc[:, sl, 0], sl_gy, sl_gy >= 0)
+
+        carry = (recon, modes, dqdc, scanq, mpmf, mbit,
+                 lb_col, lb_mode, lb_dqdc, rb_dqdc,
+                 send_r_payload, send_l_payload)
+        return carry, None
+
+    zeros_i = lambda *s: jnp.zeros(s, jnp.int32)
+    init = (
+        zeros_i(fdim, gh, gwl, 8, 8),
+        zeros_i(fdim, gh, gwl),
+        zeros_i(fdim, gh, gwl),
+        zeros_i(fdim, gh, gwl, 64),
+        zeros_i(fdim, gh, gwl),
+        zeros_i(fdim, gh, gwl),
+        zeros_i(fdim, gh, 8),      # lb_col: left-boundary pixel columns
+        zeros_i(fdim, gh),         # lb_mode
+        zeros_i(fdim, gh),         # lb_dqdc
+        zeros_i(fdim, gh),         # rb_dqdc: right-boundary DCs
+        (zeros_i(fdim, 8), zeros_i(fdim), zeros_i(fdim),
+         jnp.int32(-1), jnp.bool_(False)),
+        (zeros_i(fdim), jnp.int32(-1), jnp.bool_(False)),
+    )
+    # carries become device-varying through ppermute; mark the (replicated)
+    # initial values accordingly for shard_map's vma typing
+    init = jax.tree.map(lambda x: jax.lax.pcast(x, (axis,), to="varying"), init)
+    carry, _ = jax.lax.scan(body, init, (gys, gxs, valid, send_r, send_l))
+    recon, modes, dqdc, scanq, mpmf, mbit = carry[:6]
+    return dict(recon=recon, scan=scanq, mpm=mpmf, mode_bit=mbit)
+
+
+def encode_intra_luma_tiled(y: np.ndarray, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
+    """Driver: shard (F, H, W) luma frames column-wise over `axis` and run
+    the tiled wavefront.  Returns the same outputs as the single-device
+    engine, gathered."""
+    from ..engine.intra import from_blocks, to_blocks
+
+    ntiles = mesh.shape[axis]
+    fdim, h, w = y.shape
+    gh, gw = h // 8, w // 8
+    blocks = np.asarray(to_blocks(jnp.asarray(y))).astype(np.int32)
+
+    spec = P(None, None, axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=dict(recon=spec, scan=spec, mpm=spec, mode_bit=spec),
+    )
+    def run(blk):
+        return intra_luma_scan_tiled(blk, qdc, qac, gw, ntiles, axis=axis, dtype=dtype)
+
+    out = run(jnp.asarray(blocks))
+    return dict(
+        recon_y=np.asarray(from_blocks(out["recon"].astype(jnp.uint8))),
+        y_scan=np.asarray(out["scan"]),
+        mpm=np.asarray(out["mpm"]),
+        mode_bit=np.asarray(out["mode_bit"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tiled inter frame (pixel halos for ME/MC; small sequential chains
+# replicated via all-gather)
+# ---------------------------------------------------------------------------
+
+
+def _pad_tiled(prev_local: jnp.ndarray, padlen: int, ntiles: int, axis: str):
+    """Reference-exact padding for a column tile of the previous recon.
+
+    Exchanges `padlen`-pixel halo columns with the tile neighbors via
+    ppermute; outer tiles apply the reference's replicate padding with its
+    off-by-one (pad_image quirk: final padded row/column zero).
+    prev_local: (..., H, Wl) -> (..., H+2p, Wl+2p)."""
+    p = padlen
+    t_idx = jax.lax.axis_index(axis)
+    right = [(i, (i + 1) % ntiles) for i in range(ntiles)]
+    left = [(i, (i - 1) % ntiles) for i in range(ntiles)]
+    # halos travel with the top/bottom padding already applied so corners
+    # are correct without a second exchange
+    core = jnp.pad(prev_local, [(0, 0)] * (prev_local.ndim - 2) + [(p, p), (0, 0)], mode="edge")
+    core = core.at[..., -1, :].set(0)  # bottom zero row (reference quirk)
+    from_left = jax.lax.ppermute(core[..., -p:], axis, right)
+    from_right = jax.lax.ppermute(core[..., :p], axis, left)
+    # outer-edge replication for the boundary tiles
+    rep_l = jnp.repeat(core[..., :1], p, axis=-1)
+    rep_r = jnp.repeat(core[..., -1:], p, axis=-1).at[..., -1].set(0)
+    first = t_idx == 0
+    last = t_idx == ntiles - 1
+    lhalo = jnp.where(first, rep_l, from_left)
+    rhalo = jnp.where(last, rep_r, from_right)
+    out = jnp.concatenate([lhalo, core, rhalo], axis=-1)
+    return out
+
+
+def encode_inter_frame_tiled(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac, gw: int, ntiles: int, axis: str = "tile", table=COS_ENC, dtype=jnp.float32):
+    """Per-shard inter frame encode on a column tile (inside shard_map).
+
+    cur_*/prev_*: (F, H, Wl) local tiles.  The heavy work (SAD sweep,
+    MC, transforms, reconstruction) is tile-local with ppermute pixel
+    halos; the tiny sequential fields (MB motion vectors, transform-DC
+    chains) are all-gathered and computed replicated — they are a few KB,
+    and replicating a 100-step scalar chain is cheaper than per-step
+    boundary traffic.  Semantics identical to engine.inter.encode_inter_frame.
+    """
+    from ..engine.inter import grid8_to_mb, mb_to_grid8
+    from ..engine.intra import from_blocks, to_blocks, _acflag_from_scan
+    from ..engine.wavefront import chroma_dc_kind, dc_dpcm_scan
+    from ..ops.me import gather_pred, mv_diff_field, spiral_search
+    from ..ops.quant import ac_flag
+
+    f, h, wl = cur_y.shape
+    ghl, gwl = h // 8, wl // 8
+    t_idx = jax.lax.axis_index(axis)
+
+    pad = _pad_tiled(prev_y, 16, ntiles, axis)
+    mv_local = spiral_search(cur_y, pad)               # (F, mbh, mbw_l, 2)
+    # MV prediction needs left/upper-right MB columns across seams: the
+    # field is tiny (mbh x mbw ints) — all-gather and compute replicated
+    mv_full = jax.lax.all_gather(mv_local, axis, axis=2, tiled=True)
+    mv_diff_full = mv_diff_field(mv_full)
+    mbw_l = wl // 16
+    mv_diff = jax.lax.dynamic_slice_in_dim(
+        mv_diff_full, t_idx * mbw_l, mbw_l, axis=2
+    )
+
+    pred = gather_pred(pad.astype(jnp.int32), mv_local, 16)
+    cur16 = grid8_to_mb(to_blocks(cur_y).astype(jnp.int32))
+    resid8 = mb_to_grid8(cur16 - pred)
+    d = fdct(resid8, table=table, dtype=dtype)
+
+    # DC chain: all-gather the (F, gh, gw) DC plane, run the diagonal scan
+    # replicated, slice the local columns back
+    d_dc_full = jax.lax.all_gather(d[..., 0, 0], axis, axis=2, tiled=True)
+    q_dc_full, dq_dc_full = dc_dpcm_scan(
+        d_dc_full, luma_dc_kind(ghl, gw), qdc, chroma=False
+    )
+    q_dc = jax.lax.dynamic_slice_in_dim(q_dc_full, t_idx * gwl, gwl, axis=2)
+    dq_dc = jax.lax.dynamic_slice_in_dim(dq_dc_full, t_idx * gwl, gwl, axis=2)
+
+    q = quant_block(d, qdc, qac, chroma=False)
+    q = q.at[..., 0, 0].set(q_dc)
+    sc = zigzag(q)
+    iq = dequant_block(q, qdc, qac)
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r = idct(iq, table=table, dtype=dtype)
+    inv16 = grid8_to_mb(c_trunc(r))
+    recon16 = jnp.clip(pred + inv16, 0, 255)
+    recon_y = from_blocks(mb_to_grid8(recon16)).astype(jnp.uint8)
+
+    out = dict(
+        recon_y=recon_y,
+        y_scan=sc.astype(jnp.int16),
+        y_acflag=_acflag_from_scan(sc).astype(jnp.int8),
+        mv_diff=mv_diff.astype(jnp.int16),
+    )
+
+    mvc = jnp.sign(mv_local) * (jnp.abs(mv_local) // 2)
+    cgw = gw // 2
+    for name, plane, prev_plane in (("cb", cur_cb, prev_cb), ("cr", cur_cr, prev_cr)):
+        padc = _pad_tiled(prev_plane, 8, ntiles, axis)
+        predc = gather_pred(padc.astype(jnp.int32), mvc, 8)
+        err = to_blocks(plane).astype(jnp.int32) - predc
+        dc_ = fdct(err, table=table, dtype=dtype)
+        dcf = jax.lax.all_gather(dc_[..., 0, 0], axis, axis=2, tiled=True)
+        qdcf, dqdcf = dc_dpcm_scan(dcf, chroma_dc_kind(h // 16, cgw), qdc, chroma=True)
+        cgwl = cgw // ntiles
+        q_dcc = jax.lax.dynamic_slice_in_dim(qdcf, t_idx * cgwl, cgwl, axis=2)
+        dq_dcc = jax.lax.dynamic_slice_in_dim(dqdcf, t_idx * cgwl, cgwl, axis=2)
+        qc = quant_block(dc_, qdc, qac, chroma=True)
+        qc = qc.at[..., 0, 0].set(q_dcc)
+        scc = zigzag(qc)
+        iqc = dequant_block(qc, qdc, qac)
+        iqc = iqc.at[..., 0, 0].set(dq_dcc)
+        rc = idct(iqc, table=table, dtype=dtype)
+        rec = jnp.clip(c_trunc(predc.astype(dtype) + rc), 0, 255)
+        out[f"recon_{name}"] = from_blocks(rec).astype(jnp.uint8)
+        out[f"{name}_scan"] = scc.astype(jnp.int16)
+        out[f"{name}_acflag"] = ac_flag(qc).astype(jnp.int8)
+    return out
+
+
+def encode_inter_frames_tiled(cur, prev, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
+    """Driver: encode a batch of inter frames with width sharded over
+    `axis`.  cur/prev: dicts of (F, H, W) y/cb/cr planes.  Tiles must be
+    macroblock-aligned: ntiles has to divide W/16 (22 for CIF)."""
+    ntiles = mesh.shape[axis]
+    h, w = cur["y"].shape[-2:]
+    if (w // 16) % ntiles:
+        raise ValueError(f"ntiles={ntiles} must divide {w // 16} MB columns")
+    gw = w // 8
+    spec = P(None, None, axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=dict(
+            recon_y=spec, y_scan=spec, y_acflag=spec, mv_diff=spec,
+            recon_cb=spec, cb_scan=spec, cb_acflag=spec,
+            recon_cr=spec, cr_scan=spec, cr_acflag=spec,
+        ),
+        check_vma=False,
+    )
+    def run(cy, ccb, ccr, py, pcb, pcr):
+        return encode_inter_frame_tiled(
+            cy, ccb, ccr, py, pcb, pcr, qdc, qac, gw, ntiles, axis=axis, dtype=dtype
+        )
+
+    return run(
+        jnp.asarray(cur["y"]), jnp.asarray(cur["cb"]), jnp.asarray(cur["cr"]),
+        jnp.asarray(prev["y"]), jnp.asarray(prev["cb"]), jnp.asarray(prev["cr"]),
+    )

@@ -1,0 +1,82 @@
+"""Tile-sharded intra wavefront == single-device engine, bit for bit.
+
+The halo exchange (reconstructed boundary pixel columns, intra modes and
+dequantized DCs flowing rightward; upper-right DCs flowing leftward) must
+reproduce the sequential raster semantics exactly at every seam.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from icspcodec_tpu.engine.intra import to_blocks
+from icspcodec_tpu.engine.wavefront import intra_luma_scan
+from icspcodec_tpu.io import load_yuv420
+from icspcodec_tpu.parallel.tiles import encode_intra_luma_tiled
+from tools.make_content import synth_sequence
+
+W, H = 352, 288
+
+
+@pytest.mark.parametrize("ntiles", [2, 4])
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_tiled_intra_equals_single(ntiles, dtype):
+    if len(jax.devices()) < ntiles:
+        pytest.skip("not enough devices")
+    dt = jnp.float64 if dtype == "float64" else jnp.float32
+    nf = 3
+    raw = synth_sequence("synthA", nf).tobytes()
+    y, _, _ = load_yuv420(raw, W, H, nf)
+
+    mesh = Mesh(np.asarray(jax.devices()[:ntiles]), axis_names=("tile",))
+    tiled = encode_intra_luma_tiled(y, 16, 16, mesh, dtype=dt)
+
+    orig = to_blocks(jnp.asarray(y)).astype(jnp.int32)
+    single = jax.jit(
+        lambda o: intra_luma_scan(o, 16, 16, dtype=dt)
+    )(orig)
+
+    assert np.array_equal(tiled["y_scan"], np.asarray(single["scan"])), "scan"
+    assert np.array_equal(tiled["mpm"], np.asarray(single["mpm"])), "mpm"
+    assert np.array_equal(tiled["mode_bit"], np.asarray(single["mode_bit"])), "bit"
+    from icspcodec_tpu.engine.intra import from_blocks
+
+    rec_single = np.asarray(from_blocks(single["recon"]).astype(jnp.uint8))
+    assert np.array_equal(tiled["recon_y"], rec_single), "recon"
+
+
+@pytest.mark.parametrize("ntiles", [2, 11])  # must divide the 22 MB columns
+def test_tiled_inter_equals_single(ntiles):
+    if len(jax.devices()) < ntiles:
+        pytest.skip("not enough devices")
+    nf = 2
+    raw = synth_sequence("synthB", nf).tobytes()
+    y, cb, cr = load_yuv420(raw, W, H, nf)
+    # previous recon = intra-encode frame 0 (single-device engine)
+    from icspcodec_tpu.engine.intra import encode_intra_frames
+    from icspcodec_tpu.engine.inter import encode_inter_frame
+    from icspcodec_tpu.parallel.tiles import encode_inter_frames_tiled
+
+    intra = jax.jit(
+        lambda a, b, c: encode_intra_frames(a, b, c, 16, 16, dtype=jnp.float32)
+    )(jnp.asarray(y[:1]), jnp.asarray(cb[:1]), jnp.asarray(cr[:1]))
+    prev = dict(
+        y=np.asarray(intra["recon_y"]),
+        cb=np.asarray(intra["recon_cb"]),
+        cr=np.asarray(intra["recon_cr"]),
+    )
+    cur = dict(y=y[1:], cb=cb[1:], cr=cr[1:])
+
+    mesh = Mesh(np.asarray(jax.devices()[:ntiles]), axis_names=("tile",))
+    tiled = encode_inter_frames_tiled(cur, prev, 16, 16, mesh)
+
+    single = jax.jit(
+        lambda *a: encode_inter_frame(*a, 16, 16, dtype=jnp.float32)
+    )(
+        jnp.asarray(cur["y"]), jnp.asarray(cur["cb"]), jnp.asarray(cur["cr"]),
+        jnp.asarray(prev["y"]), jnp.asarray(prev["cb"]), jnp.asarray(prev["cr"]),
+    )
+    for k in single:
+        assert np.array_equal(np.asarray(tiled[k]), np.asarray(single[k])), k
