@@ -139,3 +139,29 @@ def test_pack_items_tail_convention():
         want = w.tobytes()
         got = bs.pack_items(bits.astype(np.uint64), np.ones(nbits, np.int64))
         assert got == want, nbits
+
+
+def test_pallas_kernels_interpret_mode():
+    """EXPERIMENTAL pallas ME kernels: spec pinned in interpret mode."""
+    from icspcodec_tpu.ops.pallas_me import mc_gather, sad_sweep
+    from icspcodec_tpu.constants import SPIRAL
+
+    prev = rng.integers(0, 256, (288, 352)).astype(np.uint8)
+    cur = np.roll(np.roll(prev, 2, 0), -3, 1).astype(np.uint8)
+    pad = oracle.pad_image(prev, 16)
+    sads_o = np.zeros((64, 18, 22), np.int64)
+    curb = oracle.to_blocks16(cur).astype(np.int64)
+    for i, (ox, oy) in enumerate(np.asarray(SPIRAL)):
+        win = pad[16 + oy:16 + oy + 288, 16 + ox:16 + ox + 352].astype(np.int64)
+        sads_o[i] = np.abs(curb - oracle.to_blocks16(win)).sum(axis=(2, 3))
+    got = np.asarray(
+        sad_sweep(jnp.asarray(cur[None]), jnp.asarray(pad[None]), interpret=True)
+    )[0]
+    assert np.array_equal(got, sads_o)
+
+    mv = oracle.motion_estimation(cur, prev)
+    want = oracle.gather_pred16(pad.astype(np.int64), mv, 16)
+    gotmc = np.asarray(
+        mc_gather(jnp.asarray(pad[None]), jnp.asarray(mv[None].astype(np.int32)), 16, interpret=True)
+    )[0]
+    assert np.array_equal(gotmc, want)
