@@ -77,10 +77,28 @@ def _encode_intra_jit(y, cb, cr, qdc, qac, exact):
     return encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
 
 
-@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
-def _encode_gop_jit(y, cb, cr, qdc, qac, exact):
+def _me_impl(exact: bool) -> str:
+    """Pick the ME/MC implementation: the pallas roll kernels on a real
+    TPU fast path, the portable XLA formulation elsewhere (CPU backend,
+    exact mode).  Overridable via ICSP_ME=xla|pallas|pallas_interpret."""
+    import os
+
+    env = os.environ.get("ICSP_ME")
+    if env:
+        return env
+    if exact:
+        return "xla"
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return "xla"
+    return "xla" if backend == "cpu" else "pallas"
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
+def _encode_gop_jit(y, cb, cr, qdc, qac, exact, me="xla"):
     dt = jnp.float64 if exact else jnp.float32
-    return encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
+    return encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
 
 
 def _np(tree):
@@ -133,7 +151,7 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
             crb = cr[idx.ravel()].reshape(g, p, *cr.shape[1:])
             with _device_for(exact):
                 intra, inter = _np(
-                    _encode_gop_jit(yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact)
+                    _encode_gop_jit(yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact))
                 ) if p > 1 else (
                     _np(_encode_intra_jit(yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact)),
                     None,

@@ -56,19 +56,36 @@ def grid8_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(lead + (gh // 2, gw // 2, 16, 16))
 
 
-def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac, table=COS_ENC, dtype=jnp.float64):
+def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac, table=COS_ENC, dtype=jnp.float64, me: str = "xla"):
     """Encode one inter frame, batched over a leading axis (GOPs).
 
     cur_*: (..., H, W) uint8; prev_*: reconstructed previous planes.
     Returns dict(recon_y/cb/cr, y_scan, y_acflag, cb/cr_scan+acflag, mv_diff).
+
+    me selects the ME/MC implementation: "xla" (portable fallback),
+    "pallas" (TPU roll kernels, ops/pallas_me.py — the throughput path:
+    the XLA window slices/gathers force lane-misaligned full-frame
+    relayouts), or "pallas_interpret" (CPU spec testing).
     """
     h, w = cur_y.shape[-2], cur_y.shape[-1]
     gh, gw = h // 8, w // 8
     pad = pad_image(prev_y, 16)
-    mv = spiral_search(cur_y, pad)
-    pred = gather_pred(pad.astype(jnp.int32), mv, 16)
-    cur16 = grid8_to_mb(to_blocks(cur_y).astype(jnp.int32))
-    resid8 = mb_to_grid8(cur16 - pred)
+    if me == "xla":
+        mv = spiral_search(cur_y, pad)
+        predb = gather_pred(pad.astype(jnp.int32), mv, 16)
+        # frame-layout predictor: elementwise ops commute with the
+        # block<->plane transposes, so downstream math is layout-agnostic
+        predf = from_blocks(mb_to_grid8(predb))
+        cidx = None
+    else:
+        from ..ops import pallas_me as pme
+
+        interp = me == "pallas_interpret"
+        best = pme.sad_best(cur_y, pad, interpret=interp)
+        mv = jnp.take(pme.NEG_SPIRAL, best, axis=0)
+        predf = pme.mc_select_luma(pad, best, interpret=interp)
+        cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best, axis=0)
+    resid8 = to_blocks(cur_y.astype(jnp.int32) - predf)
 
     d = fdct(resid8, table=table, dtype=dtype)
     q_dc, dq_dc = dc_dpcm_scan(
@@ -81,9 +98,7 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
     iq = iq.at[..., 0, 0].set(dq_dc)
     r = idct(iq, table=table, dtype=dtype)
     # mergeBlock INTER casts the double IDCT to int (enc src:4812)
-    inv16 = grid8_to_mb(c_trunc(r))
-    recon16 = jnp.clip(pred + inv16, 0, 255)
-    recon_y = from_blocks(mb_to_grid8(recon16)).astype(jnp.uint8)
+    recon_y = jnp.clip(predf + from_blocks(c_trunc(r)), 0, 255).astype(jnp.uint8)
 
     mv_diff = mv_diff_field(mv)
     out = dict(
@@ -95,17 +110,24 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
 
     # chroma: mv/2 with C division (CmotionCompensation enc src:2538);
     # Cb and Cr stacked into one batch so the DC scan runs once
-    mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
     f = cur_cb.shape[0]
     planes = jnp.concatenate([cur_cb, cur_cr])
     prevs = jnp.concatenate([prev_cb, prev_cr])
-    mvc2 = jnp.concatenate([mvc, mvc])
     padc = pad_image(prevs, 8)
-    predc = gather_pred(padc.astype(jnp.int32), mvc2, 8)
-    err = to_blocks(planes).astype(jnp.int32) - predc
+    if me == "xla":
+        mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
+        mvc2 = jnp.concatenate([mvc, mvc])
+        predcf = from_blocks(gather_pred(padc.astype(jnp.int32), mvc2, 8))
+    else:
+        from ..ops import pallas_me as pme
+
+        predcf = pme.mc_select_chroma(
+            padc, jnp.concatenate([cidx, cidx]), interpret=(me == "pallas_interpret")
+        )
+    err = to_blocks(planes).astype(jnp.int32) - to_blocks(predcf)
     c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype)
     # recon = clamp((int)(pad_pixel + idct)): double sum, trunc to zero
-    rec = from_blocks(jnp.clip(c_trunc(predc.astype(dtype) + c["idct"]), 0, 255))
+    rec = jnp.clip(c_trunc(predcf.astype(dtype) + from_blocks(c["idct"])), 0, 255)
     for i, name in enumerate(("cb", "cr")):
         sl = slice(i * f, (i + 1) * f)
         out[f"recon_{name}"] = rec[sl].astype(jnp.uint8)
@@ -119,7 +141,7 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
 # ---------------------------------------------------------------------------
 
 
-def encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=jnp.float64):
+def encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=jnp.float64, me: str = "xla"):
     """Encode closed GOPs: frame 0 intra, the rest P-frames.
 
     y: (G, P, H, W) uint8 — G independent GOPs of P frames each.
@@ -134,7 +156,7 @@ def encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=jnp.float64):
     def step(carry, xs):
         py, pcb, pcr = carry
         cy, ccb, ccr = xs
-        o = encode_inter_frame(cy, ccb, ccr, py, pcb, pcr, qdc, qac, table=table, dtype=dtype)
+        o = encode_inter_frame(cy, ccb, ccr, py, pcb, pcr, qdc, qac, table=table, dtype=dtype, me=me)
         carry = (o["recon_y"], o["recon_cb"], o["recon_cr"])
         return carry, o
 

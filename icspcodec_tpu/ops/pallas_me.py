@@ -1,30 +1,33 @@
-"""Pallas TPU kernels for motion estimation / compensation (EXPERIMENTAL).
+"""Pallas TPU kernels for motion estimation / compensation.
 
-STATUS: correct under pallas interpret mode (pinned by tests) but NOT
-wired into the engine.  On this environment's v5e Mosaic the compiled
-sad_sweep returns slightly wrong sums (suspected mis-lowered misaligned
-VMEM slicing) and is no faster than the XLA path (~29 ms vs ~31 ms for a
-30-frame batch; the 64 lane-misaligned window reads dominate either
-way), and mc_gather's per-MB dynamic sublane slicing is rejected
-("cannot prove index is a multiple of 8").  Next step: restructure so
-shifts hit lane-aligned boundaries (phase-split layouts) or DMA-based
-windowing.
+The XLA formulations (ops/me.py) are dominated by lane-misaligned
+slicing of the padded reference frame: the 64 spiral-candidate windows
+and the per-MB predictor gather each force full-frame relayouts through
+HBM (~32 ms + ~21 ms per 30-frame batch on v5e).  These kernels keep the
+whole padded frame in VMEM and produce every shifted window with
+`pltpu.roll` (lane/sublane rotations, no misaligned slicing — an earlier
+slice-based kernel was mis-lowered by this Mosaic version, see git
+history), reducing the windows on the MXU via 0/1 block-sum matmuls:
 
-
-The XLA formulations of the SAD sweep and the per-MB predictor gather are
-dominated by lane-misaligned slicing of the padded frame in HBM (~50 ms
-per frame batch).  These kernels keep the whole padded frame in VMEM and
-do the shifting there:
-
-* sad_sweep: all 64 spiral-candidate SAD maps per frame.  Static slice
-  offsets (the spiral is a compile-time constant); the 16x16 reduction
-  runs rows-by-reshape then columns on the MXU via a 0/1 block mask.
-* mc_gather: per-MB (bs x bs) predictor blocks at dynamic MV offsets —
-  a fori_loop of VMEM dynamic slices (used for luma and chroma MC and
-  the decoder).
+* sad_best: all 64 spiral-candidate SADs per frame plus the reference's
+  selection rule (first strict minimum in spiral order, overridden by
+  the second zero when two zero-SAD candidates exist — motionEstimation
+  enc src:2073-2155) fused into one kernel.  Output is the spiral index.
+* mc_select: motion compensation as masked selection.  Every MV the
+  encoder can emit is one of the 64 spiral offsets (and every chroma MV
+  one of 38 mv/2 images), so instead of per-MB dynamic slices the kernel
+  rolls the padded frame once per *offset* and selects per-pixel by
+  comparing a block-index map against the offset id.  Used for luma MC,
+  chroma MC (CmotionCompensation enc src:2500-2557), and the decoder.
 
 Both have XLA fallbacks (ops/me.py) used on CPU; equality is pinned by
 tests (CPU: interpret mode, TPU: ICSP_TEST_TPU=1).
+
+Legacy slice-based kernels (sad_sweep / mc_gather) are kept below for
+the interpret-mode spec tests but are not wired into the engine: on this
+environment's v5e Mosaic the compiled sad_sweep returned wrong sums
+(mis-lowered misaligned VMEM slicing) and mc_gather's per-MB dynamic
+sublane slicing is rejected outright.
 """
 from __future__ import annotations
 
@@ -38,7 +41,186 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import SPIRAL
 
-_INTERPRET = False  # set True on CPU for tests
+
+def _chroma_table():
+    """Unique chroma window offsets and the spiral-index -> chroma-index map.
+
+    Chroma MC uses mv/2 with C truncation (enc src:2538); with
+    mv = -spiral the chroma window offset is sign(o) * (|o| // 2)."""
+    c = np.sign(SPIRAL) * (np.abs(SPIRAL) // 2)
+    uniq, inv = np.unique(c, axis=0, return_inverse=True)
+    return uniq.astype(np.int32), inv.astype(np.int32)
+
+
+CHROMA_OFFSETS, SPIRAL_TO_CHROMA = _chroma_table()
+NEG_SPIRAL = (-SPIRAL).astype(np.int32)
+
+
+def _lane_extend(pad: jnp.ndarray) -> jnp.ndarray:
+    """Extend the last (lane) dim to a multiple of 128 with trailing zeros:
+    Mosaic's dynamic lane rotate rejects non-multiple-of-128 widths.  All
+    reads stay left of the extension (x + padlen + ox < original width),
+    so the zeros never reach a consumer."""
+    pw = pad.shape[-1]
+    rem = (-pw) % 128
+    if rem == 0:
+        return pad
+    return jnp.pad(pad, [(0, 0)] * (pad.ndim - 1) + [(0, rem)])
+
+
+def _roll_shifts(offsets: np.ndarray, padlen: int, ph: int, pw: int) -> np.ndarray:
+    """Precomputed (N, 2) non-negative roll shifts so that
+    rolled[y, x] == pad[y + padlen + oy, x + padlen + ox] (mod shape);
+    wrapped values only ever land outside the region the callers read."""
+    sh = np.empty((len(offsets), 2), np.int32)
+    sh[:, 0] = (-(padlen + offsets[:, 1])) % ph  # rows from oy
+    sh[:, 1] = (-(padlen + offsets[:, 0])) % pw  # cols from ox
+    return sh
+
+
+def _iota_eq(n: int, m: int, scale: int) -> jnp.ndarray:
+    """(n, m) f32 0/1 matrix with A[r, c] = (c // scale == r) — generated
+    in-kernel (iota compare) so no host constants ride along."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    return (c // scale == r).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """cur: (G, H, W) uint8; pad: (G, H+32, W+32) uint8 (padded previous
+    reconstruction).  Returns best (G, mbh, mbw) int32: the spiral index
+    selected by the reference's rule.  mv = -SPIRAL[best]."""
+    g, h, w = cur.shape
+    pad = _lane_extend(pad)
+    ph, pw = pad.shape[-2], pad.shape[-1]
+    mbh, mbw = h // 16, w // 16
+    shifts = _roll_shifts(np.asarray(SPIRAL), 16, ph, pw)
+
+    def kernel(sh_ref, cur_ref, pad_ref, best_ref):
+        cur_i = cur_ref[0].astype(jnp.int32)
+        pad_i = pad_ref[0].astype(jnp.int32)
+        rowsum = _iota_eq(mbh, h, 16)        # (mbh, H)
+        colsum = _iota_eq(mbw, w, 16).T      # (W, mbw)
+
+        def body(k, st):
+            curmin, best, zc, second = st
+            win = pltpu.roll(
+                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
+            )[:h, :w]
+            # no vector i32 abs on this Mosaic: |a-b| = max - min
+            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
+            # 16x16 block sums on the MXU; max 16*16*255 < 2^24: f32-exact
+            # precision=HIGHEST: the v5e MXU's default f32 matmul is a
+            # single bf16 pass; row sums reach 4080 (> bf16-exact range)
+            s = jnp.dot(
+                jnp.dot(rowsum, d, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST),
+                colsum,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+            lt = s < curmin                   # strict <: first minimum wins
+            best = jnp.where(lt, k, best)
+            curmin = jnp.where(lt, s, curmin)
+            z = s == 0
+            second = jnp.where(z & (zc == 1), k, second)
+            zc = zc + z.astype(jnp.int32)
+            return curmin, best, zc, second
+
+        zeros = jnp.zeros((mbh, mbw), jnp.int32)
+        init = (jnp.full((mbh, mbw), jnp.iinfo(jnp.int32).max, jnp.int32), zeros, zeros, zeros)
+        _, best, zc, second = jax.lax.fori_loop(0, len(shifts), body, init)
+        # the SAD==0 early-break fires only once min is already 0: with
+        # >=2 zero candidates the *second* zero wins
+        best_ref[0] = jnp.where(zc >= 2, second, best)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, mbh, mbw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(shifts), cur, pad)
+
+
+def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: bool):
+    """pad: (B, H+2p, W+2p) uint8; idx: (B, H//block, W//block) int32 of
+    offset-table indices.  Returns pred (B, H, W) int32."""
+    b, bh, bw = idx.shape
+    h, w = bh * block, bw * block
+    pad = _lane_extend(pad)
+    ph, pw = pad.shape[-2], pad.shape[-1]
+    shifts = _roll_shifts(np.asarray(offsets, np.int32), padlen, ph, pw)
+
+    def kernel(sh_ref, idx_ref, pad_ref, out_ref):
+        pad_i = pad_ref[0].astype(jnp.int32)
+        # per-pixel offset-id map: elementwise block expansion via 0/1
+        # matmuls (pltpu.repeat has tile, not elementwise, semantics)
+        rows = _iota_eq(bh, h, block)        # (bh, H)
+        cols = _iota_eq(bw, w, block)        # (bw, W)
+        bm = jnp.dot(
+            jnp.dot(rows.T, idx_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST),
+            cols,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)                   # (H, W)
+
+        def body(u, pred):
+            win = pltpu.roll(
+                pltpu.roll(pad_i, sh_ref[u, 0], axis=0), sh_ref[u, 1], axis=1
+            )[:h, :w]
+            return jnp.where(bm == u, win, pred)
+
+        out_ref[0] = jax.lax.fori_loop(0, len(shifts), body, jnp.zeros((h, w), jnp.int32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bh, bw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(shifts), idx, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mc_select_luma(pad: jnp.ndarray, best: jnp.ndarray, interpret: bool = False):
+    """Luma predictor frame from spiral indices (16-px pad, 16x16 MBs)."""
+    offsets = tuple((int(ox), int(oy)) for ox, oy in np.asarray(SPIRAL))
+    return _mc_select(pad, best, offsets, 16, 16, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mc_select_chroma(pad: jnp.ndarray, cidx: jnp.ndarray, interpret: bool = False):
+    """Chroma predictor frame from chroma offset indices (8-px pad, 8x8
+    blocks).  cidx = SPIRAL_TO_CHROMA[best]."""
+    offsets = tuple((int(ox), int(oy)) for ox, oy in np.asarray(CHROMA_OFFSETS))
+    return _mc_select(pad, cidx, offsets, 8, 8, interpret)
+
+
+def best_from_mv(mv: jnp.ndarray) -> jnp.ndarray:
+    """Map MVs back to spiral indices (decode side: every bitstream MV is
+    -SPIRAL[k]; duplicates resolve to the first index, which selects the
+    identical window)."""
+    neg = NEG_SPIRAL  # (64, 2) numpy constant
+    eq = (mv[..., None, 0] == neg[:, 0]) & (mv[..., None, 1] == neg[:, 1])
+    return jnp.argmax(eq, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Legacy slice-based kernels (interpret-mode spec only; see module docstring)
+# ---------------------------------------------------------------------------
 
 
 def _col_mask(w: int, mbw: int, bs: int) -> np.ndarray:

@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 from .bitstream import frame_items, pack_header
-from .codec import _acflag, _encode_gop_jit, _encode_intra_jit, _np, _device_for
+from .codec import _acflag, _encode_gop_jit, _encode_intra_jit, _me_impl, _np, _device_for
 from .config import CodecConfig
 from .metrics import GopRecord, MetricsLog, psnr_y
 
@@ -39,7 +39,7 @@ def _gop_items(y, cb, cr, cfg: CodecConfig):
             inter = None
         else:
             intra, inter = _np(
-                _encode_gop_jit(y[None], cb[None], cr[None], cfg.qp_dc, cfg.qp_ac, exact)
+                _encode_gop_jit(y[None], cb[None], cr[None], cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact))
             )
     isym = {k: np.asarray(v) for k, v in intra.items()}
     isym["y_acflag"] = _acflag(isym["y_scan"])

@@ -165,3 +165,78 @@ def test_pallas_kernels_interpret_mode():
         mc_gather(jnp.asarray(pad[None]), jnp.asarray(mv[None].astype(np.int32)), 16, interpret=True)
     )[0]
     assert np.array_equal(gotmc, want)
+
+
+def test_pallas_roll_kernels_interpret_mode():
+    """Production pallas ME/MC kernels (sad_best / mc_select_*): spec
+    pinned in interpret mode vs the oracle; on-chip equality is covered
+    by ICSP_TEST_TPU=1 runs."""
+    from icspcodec_tpu.ops.pallas_me import (
+        SPIRAL_TO_CHROMA,
+        best_from_mv,
+        mc_select_chroma,
+        mc_select_luma,
+        sad_best,
+    )
+
+    prev = rng.integers(0, 256, (288, 352)).astype(np.uint8)
+    cur = np.roll(np.roll(prev, 2, 0), -3, 1).astype(np.uint8)
+    cur[100:130, 200:260] ^= 0x55  # break up pure-translation structure
+    pad = oracle.pad_image(prev, 16)
+    mv_o = oracle.motion_estimation(cur, prev)
+
+    best = np.asarray(
+        sad_best(jnp.asarray(cur[None]), jnp.asarray(pad[None]), interpret=True)
+    )[0]
+    assert np.array_equal(-np.asarray(SPIRAL)[best], mv_o)
+
+    # double-zero rule: identical frames give SAD==0 at spiral steps 0 and
+    # 1 (both (0,0)); the reference's early-break picks the *second* zero
+    best0 = np.asarray(
+        sad_best(jnp.asarray(prev[None]), jnp.asarray(pad[None]), interpret=True)
+    )[0]
+    assert (best0 == 1).all()
+
+    # luma MC: frame-layout masked selection == per-block oracle gather
+    want = oracle.gather_pred16(pad.astype(np.int64), mv_o, 16)
+    pred = np.asarray(
+        mc_select_luma(jnp.asarray(pad[None]), jnp.asarray(best[None]), interpret=True)
+    )[0]
+    assert np.array_equal(oracle.to_blocks16(pred), want)
+
+    # chroma MC: mv/2 (C trunc) via the precomputed chroma offset table
+    prevc = rng.integers(0, 256, (144, 176)).astype(np.uint8)
+    padc = oracle.pad_image(prevc, 8)
+    mvc = np.sign(mv_o) * (np.abs(mv_o) // 2)
+    wantc = oracle.gather_pred16(padc.astype(np.int64), mvc, 8)
+    cidx = SPIRAL_TO_CHROMA[best]
+    predc = np.asarray(
+        mc_select_chroma(jnp.asarray(padc[None]), jnp.asarray(cidx[None]), interpret=True)
+    )[0]
+    got_blocks = predc.reshape(18, 8, 22, 8).transpose(0, 2, 1, 3)
+    assert np.array_equal(got_blocks, wantc)
+
+    # decode side: every bitstream MV maps back to a spiral index whose
+    # window is identical (duplicate offsets resolve to the first index)
+    k = np.asarray(best_from_mv(jnp.asarray(mv_o.astype(np.int32))))
+    assert np.array_equal(-np.asarray(SPIRAL)[k], mv_o)
+
+
+def test_inter_engine_pallas_path_matches_xla():
+    """Full inter-frame engine with me='pallas_interpret' must produce
+    identical symbols + reconstructions to the portable XLA path."""
+    from icspcodec_tpu.engine.inter import encode_inter_frame
+
+    h, w = 96, 128
+    cur_y = rng.integers(0, 256, (1, h, w)).astype(np.uint8)
+    prev_y = rng.integers(0, 256, (1, h, w)).astype(np.uint8)
+    cur_cb = rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8)
+    cur_cr = rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8)
+    prev_cb = rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8)
+    prev_cr = rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8)
+
+    args = (cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, 16, 16)
+    a = encode_inter_frame(*args, dtype=jnp.float32, me="xla")
+    b = encode_inter_frame(*args, dtype=jnp.float32, me="pallas_interpret")
+    for k in a:
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
