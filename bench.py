@@ -59,9 +59,12 @@ def main():
         )
         return checksum(out), mse
 
+    # pallas ME/MC roll kernels on a real chip, XLA fallback on CPU
+    me = "xla" if jax.default_backend() == "cpu" else "pallas"
+
     @jax.jit
     def gop_probe(y, cb, cr):
-        intra, inter = encode_gop(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        intra, inter = encode_gop(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32, me=me)
         return checksum(intra) + checksum(inter)
 
     def timed_device(fn, args, reps=5):

@@ -26,16 +26,18 @@ def gop_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("gop",))
 
 
-def encode_gops_sharded(y, cb, cr, qdc: int, qac: int, mesh: Mesh, dtype=jnp.float32):
+def encode_gops_sharded(y, cb, cr, qdc: int, qac: int, mesh: Mesh, dtype=jnp.float32, me: str = "xla"):
     """Encode (G, P, H, W) GOPs with G sharded across the mesh.
 
     G must be divisible by the mesh size.  Returns the same (intra, inter)
     pytrees as engine.inter.encode_gop, sharded on their leading G axis.
+    me: ME/MC implementation (engine.inter.encode_inter_frame) — "pallas"
+    on real TPU meshes, "xla" (default) is portable to any backend.
     """
     shard = NamedSharding(mesh, P("gop"))
 
     def run(y, cb, cr):
-        return encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dtype)
+        return encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dtype, me=me)
 
     fn = jax.jit(run, in_shardings=(shard, shard, shard))
     return fn(
