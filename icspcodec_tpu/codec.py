@@ -199,8 +199,8 @@ def _decode_intra_jit(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, exact):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
-def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact):
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
+def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me="xla"):
     """sym_i: intra symbols (G, ...); sym_p: inter symbols (G, P-1, ...)."""
     dt = jnp.float64 if exact else jnp.float32
     first = decode_intra_frames(
@@ -210,7 +210,7 @@ def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact):
 
     def step(carry, xs):
         out = decode_inter_frame(
-            xs, carry["y"], carry["cb"], carry["cr"], qdc, qac, table=COS_DEC, dtype=dt
+            xs, carry["y"], carry["cb"], carry["cr"], qdc, qac, table=COS_DEC, dtype=dt, me=me
         )
         return out, out
 
@@ -272,7 +272,7 @@ def decode(data: bytes, nframes: int, precision: str = "exact"):
                 for k in ("y_scan", "mv_diff", "cb_scan", "cr_scan")
             }
             with _device_for(exact):
-                first, rest = _np(_decode_gop_jit(sym_i, sym_p, qdc, qac, exact))
+                first, rest = _np(_decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me=_me_impl(exact)))
             for gi in range(g):
                 n0 = int(idx[gi, 0])
                 y[n0], cb[n0], cr[n0] = first["y"][gi], first["cb"][gi], first["cr"][gi]

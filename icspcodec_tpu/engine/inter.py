@@ -223,8 +223,12 @@ def mv_reconstruct_scan(mv_diff: jnp.ndarray):
     return mv
 
 
-def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dtype=jnp.float64):
-    """Inverse inter pipeline for a batch of frames (symbols -> planes)."""
+def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dtype=jnp.float64, me: str = "xla"):
+    """Inverse inter pipeline for a batch of frames (symbols -> planes).
+
+    me: as in encode_inter_frame.  Every bitstream MV is one of the 64
+    spiral offsets, so the decode-side MC maps MVs back to spiral indices
+    (best_from_mv) and reuses the masked-selection pallas kernels."""
     gh, gw = sym["y_scan"].shape[1:3]
     h, w = gh * 8, gw * 8
     mv = mv_reconstruct_scan(sym["mv_diff"])
@@ -232,10 +236,19 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     iq = dequant_block(q, qdc, qac)
     dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
     iq = iq.at[..., 0, 0].set(dq_dc)
-    inv16 = grid8_to_mb(c_trunc(idct(iq, table=table, dtype=dtype)))
+    inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
     pad = pad_image(prev_y, 16)
-    pred = gather_pred(pad.astype(jnp.int32), mv, 16)
-    recon_y = from_blocks(mb_to_grid8(jnp.clip(pred + inv16, 0, 255))).astype(jnp.uint8)
+    if me == "xla":
+        predf = from_blocks(mb_to_grid8(gather_pred(pad.astype(jnp.int32), mv, 16)))
+        cidx = None
+    else:
+        from ..ops import pallas_me as pme
+
+        interp = me == "pallas_interpret"
+        best = pme.best_from_mv(mv)
+        predf = pme.mc_select_luma(pad, best, interpret=interp)
+        cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best, axis=0)
+    recon_y = jnp.clip(predf + inv_f, 0, 255).astype(jnp.uint8)
 
     mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
     out = dict(y=recon_y)
@@ -245,9 +258,14 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
         ch, cw = qc.shape[1:3]
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
         iqc = iqc.at[..., 0, 0].set(dqc)
-        rc = idct(iqc, table=table, dtype=dtype)
+        rc = from_blocks(idct(iqc, table=table, dtype=dtype))
         padc = pad_image(prev_plane, 8)
-        predc = gather_pred(padc.astype(jnp.int32), mvc, 8)
-        rec = jnp.clip(c_trunc(predc.astype(dtype) + rc), 0, 255)
-        out[name] = from_blocks(rec).astype(jnp.uint8)
+        if me == "xla":
+            predcf = from_blocks(gather_pred(padc.astype(jnp.int32), mvc, 8))
+        else:
+            from ..ops import pallas_me as pme
+
+            predcf = pme.mc_select_chroma(padc, cidx, interpret=(me == "pallas_interpret"))
+        rec = jnp.clip(c_trunc(predcf.astype(dtype) + rc), 0, 255)
+        out[name] = rec.astype(jnp.uint8)
     return out

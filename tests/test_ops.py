@@ -240,3 +240,26 @@ def test_inter_engine_pallas_path_matches_xla():
     b = encode_inter_frame(*args, dtype=jnp.float32, me="pallas_interpret")
     for k in a:
         assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
+def test_inter_decode_pallas_path_matches_xla():
+    """Decode-side MC via best_from_mv + mc_select must match the XLA
+    gather path bit-for-bit (fast/f32 regime)."""
+    from icspcodec_tpu.constants import COS_DEC
+    from icspcodec_tpu.engine.inter import decode_inter_frame, encode_inter_frame
+
+    h, w = 96, 128
+    cur_y = rng.integers(0, 256, (1, h, w)).astype(np.uint8)
+    prev_y = rng.integers(0, 256, (1, h, w)).astype(np.uint8)
+    cc = [rng.integers(0, 256, (1, h // 2, w // 2)).astype(np.uint8) for _ in range(4)]
+    sym = encode_inter_frame(cur_y, cc[0], cc[1], prev_y, cc[2], cc[3], 16, 16, dtype=jnp.float32)
+    sym = {
+        "y_scan": jnp.asarray(sym["y_scan"], jnp.int32),
+        "mv_diff": jnp.asarray(sym["mv_diff"], jnp.int32),
+        "cb_scan": jnp.asarray(sym["cb_scan"], jnp.int32),
+        "cr_scan": jnp.asarray(sym["cr_scan"], jnp.int32),
+    }
+    a = decode_inter_frame(sym, prev_y, cc[2], cc[3], 16, 16, COS_DEC, dtype=jnp.float32, me="xla")
+    b = decode_inter_frame(sym, prev_y, cc[2], cc[3], 16, 16, COS_DEC, dtype=jnp.float32, me="pallas_interpret")
+    for k in a:
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
