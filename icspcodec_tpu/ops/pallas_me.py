@@ -110,12 +110,16 @@ def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp
             )[:h, :w]
             # no vector i32 abs on this Mosaic: |a-b| = max - min
             d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
-            # 16x16 block sums on the MXU; max 16*16*255 < 2^24: f32-exact
-            # precision=HIGHEST: the v5e MXU's default f32 matmul is a
-            # single bf16 pass; row sums reach 4080 (> bf16-exact range)
+            # 16x16 block sums on the MXU; max 16*16*255 < 2^24: f32-exact.
+            # The v5e MXU's default f32 matmul is a single bf16 pass:
+            # exact for the FIRST matmul (inputs are 0/1 and u8 diffs
+            # <= 255, both bf16-exact; products accumulate in f32), but
+            # the SECOND's inputs are row sums up to 4080 (> bf16's 8
+            # mantissa bits) and need precision=HIGHEST.  Keeping the
+            # big first matmul at default precision is ~25x faster and
+            # measured bit-identical (tools + on-chip equality tests).
             s = jnp.dot(
-                jnp.dot(rowsum, d, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST),
+                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
                 colsum,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -161,15 +165,17 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
     def kernel(sh_ref, idx_ref, pad_ref, out_ref):
         pad_i = pad_ref[0].astype(jnp.int32)
         # per-pixel offset-id map: elementwise block expansion via 0/1
-        # matmuls (pltpu.repeat has tile, not elementwise, semantics)
+        # matmuls (pltpu.repeat has tile, not elementwise, semantics).
+        # Default (single-pass bf16) precision is exact here: every
+        # value in play is a 0/1 or an offset index <= 63, and each
+        # output element is a one-term product — nothing exceeds bf16's
+        # exact-integer range at any point.
         rows = _iota_eq(bh, h, block)        # (bh, H)
         cols = _iota_eq(bw, w, block)        # (bw, W)
         bm = jnp.dot(
-            jnp.dot(rows.T, idx_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST),
+            jnp.dot(rows.T, idx_ref[0].astype(jnp.float32), preferred_element_type=jnp.float32),
             cols,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
         ).astype(jnp.int32)                   # (H, W)
 
         def body(u, pred):
