@@ -263,3 +263,14 @@ def test_inter_decode_pallas_path_matches_xla():
     b = decode_inter_frame(sym, prev_y, cc[2], cc[3], 16, 16, COS_DEC, dtype=jnp.float32, me="pallas_interpret")
     for k in a:
         assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
+def test_me_impl_selection(monkeypatch):
+    """ME/MC implementation auto-selection + ICSP_ME override."""
+    from icspcodec_tpu.codec import _me_impl
+
+    monkeypatch.delenv("ICSP_ME", raising=False)
+    assert _me_impl(exact=True) == "xla"          # exact pins the CPU path
+    assert _me_impl(exact=False) in ("xla", "pallas")  # backend-dependent
+    monkeypatch.setenv("ICSP_ME", "pallas_interpret")
+    assert _me_impl(exact=False) == "pallas_interpret"
