@@ -1,4 +1,6 @@
 """Unit tests: JAX ops vs the NumPy oracle (which is pinned to the C++)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -274,3 +276,4 @@ def test_me_impl_selection(monkeypatch):
     assert _me_impl(exact=False) in ("xla", "pallas")  # backend-dependent
     monkeypatch.setenv("ICSP_ME", "pallas_interpret")
     assert _me_impl(exact=False) == "pallas_interpret"
+
