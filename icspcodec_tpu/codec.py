@@ -77,6 +77,9 @@ def _encode_intra_jit(y, cb, cr, qdc, qac, exact):
     return encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
 
 
+_ME_IMPLS = ("xla", "pallas", "pallas_interpret")
+
+
 def _me_impl(exact: bool) -> str:
     """Pick the ME/MC implementation: the pallas roll kernels on a real
     TPU fast path, the portable XLA formulation elsewhere (CPU backend,
@@ -85,6 +88,10 @@ def _me_impl(exact: bool) -> str:
 
     env = os.environ.get("ICSP_ME")
     if env:
+        if env not in _ME_IMPLS:
+            raise ValueError(
+                f"ICSP_ME={env!r} is not one of {_ME_IMPLS}"
+            )
         return env
     if exact:
         return "xla"

@@ -61,6 +61,19 @@ def spiral_offsets(nsearch: int = 64) -> np.ndarray:
     state after each 64-step run, so every MB sees this same sequence.
     Sequence: (0,0),(0,0),(1,0),(1,-1),(-1,-1),... x in [-15,16], y in
     [-16,15].
+
+    KNOWN DIVERGENCE (content-dependent): the return-to-initial-state
+    property only holds for break-free 64-step runs.  The reference's
+    SAD==0 early break (enc src:2136-2141) can exit mid-run — a perfectly
+    static MB breaks at spiral step 1 with xflag/yflag mirrored, so in the
+    C++ every *subsequent* MB of that frame walks a mirrored spiral.  This
+    fixed table does not model that carry-over; on content with zero-SAD
+    MBs (exact static repeats) the chosen MV can differ from the C++ (both
+    choices have SAD 0 at the break, so recon quality is unaffected, but
+    bitstreams would not be byte-identical).  The pinned golden content
+    never triggers the break (verified: golden tests are byte-exact);
+    tests/test_ops.py::test_spiral_zero_sad_break_divergence documents the
+    triggering content class.
     """
     out = np.zeros((nsearch, 2), dtype=np.int32)
     x0 = y0 = 0

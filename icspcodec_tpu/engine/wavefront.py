@@ -202,7 +202,10 @@ def _dc_chain_scan(vals, kind, gh, gw, step_fn, out_dtypes):
         dq, extra = step_fn(vrow, pred)
         return (dq, r1, r2), (dq, extra)
 
-    zero = jnp.zeros((fdim, nmax), jnp.int32)
+    # derive the zero carry from the input so it inherits the input's
+    # varying-manual-axes type under shard_map (a plain jnp.zeros would be
+    # replicated and trip the scan carry vma check on tile-sharded runs)
+    zero = (val_rows[0] * 0).astype(jnp.int32)
     (_, _, _), (dq_rows, extra_rows) = jax.lax.scan(
         body,
         (zero, zero, zero),

@@ -9,7 +9,17 @@ import numpy as np
 
 
 def load_yuv420(path_or_bytes, width: int, height: int, nframes: int | None = None):
-    """Return (Y, Cb, Cr) uint8 arrays of shape (F,H,W) / (F,H/2,W/2)."""
+    """Return (Y, Cb, Cr) uint8 arrays of shape (F,H,W) / (F,H/2,W/2).
+
+    Raises ValueError on macroblock-unaligned dimensions or a file too
+    short for the requested frame count (the reference error-exits via
+    print_error_message, enc src:64-81; silently truncating would encode
+    garbage)."""
+    if width <= 0 or height <= 0 or width % 16 or height % 16:
+        raise ValueError(
+            f"frame dimensions must be positive multiples of 16 "
+            f"(macroblock size); got {width}x{height}"
+        )
     if isinstance(path_or_bytes, (bytes, bytearray)):
         raw = np.frombuffer(path_or_bytes, dtype=np.uint8)
     else:
@@ -19,6 +29,13 @@ def load_yuv420(path_or_bytes, width: int, height: int, nframes: int | None = No
     total = raw.size // fsz
     if nframes is None:
         nframes = total
+    if nframes <= 0:
+        raise ValueError(f"need at least one frame, got nframes={nframes}")
+    if total < nframes:
+        raise ValueError(
+            f"input holds only {total} complete {width}x{height} YUV420 "
+            f"frames ({raw.size} bytes); {nframes} requested"
+        )
     raw = raw[: nframes * fsz].reshape(nframes, fsz)
     y = raw[:, : width * height].reshape(nframes, height, width)
     cb = raw[:, width * height: width * height + cw * ch].reshape(nframes, ch, cw)

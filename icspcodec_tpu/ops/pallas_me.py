@@ -218,7 +218,14 @@ def mc_select_chroma(pad: jnp.ndarray, cidx: jnp.ndarray, interpret: bool = Fals
 def best_from_mv(mv: jnp.ndarray) -> jnp.ndarray:
     """Map MVs back to spiral indices (decode side: every bitstream MV is
     -SPIRAL[k]; duplicates resolve to the first index, which selects the
-    identical window)."""
+    identical window).
+
+    PRECONDITION: every MV must be one of the 64 spiral offsets — true for
+    any bitstream this encoder (or the reference) produced.  An out-of-table
+    MV (corrupted/foreign bitstream) silently maps to index 0 (argmax of an
+    all-false row); callers needing to detect that case must route through
+    the XLA decode path or validate MVs host-side first (codec.decode's
+    exact path does the former)."""
     neg = NEG_SPIRAL  # (64, 2) numpy constant
     eq = (mv[..., None, 0] == neg[:, 0]) & (mv[..., None, 1] == neg[:, 1])
     return jnp.argmax(eq, axis=-1).astype(jnp.int32)

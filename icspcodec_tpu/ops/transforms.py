@@ -69,15 +69,33 @@ def _idct_matrix(table_key: str, dtype: str) -> np.ndarray:
     return m.astype(dtype)
 
 
-_TABLES = {"enc": None, "dec": None}
+def _table_registry():
+    from ..constants import COS_DEC
+
+    return {"enc": COS_ENC, "dec": COS_DEC}
+
+
+_TABLES = _table_registry()
 
 
 def _table_key(table: np.ndarray) -> str:
-    from ..constants import COS_DEC
+    """Map a cosine table to its cached-matrix key.
 
-    key = "enc" if np.array_equal(table, COS_ENC) else "dec"
-    _TABLES[key] = COS_ENC if key == "enc" else COS_DEC
-    return key
+    Identity first (the cheap common case: callers pass the module
+    constants), falling back to value equality for copies (e.g. tables
+    round-tripped through jit closures).  Any *other* table is an error —
+    silently caching a custom table under a regime key would hand wrong
+    constants to every later caller of that regime."""
+    for key, known in _TABLES.items():
+        if table is known:
+            return key
+    for key, known in _TABLES.items():
+        if table.shape == known.shape and np.array_equal(table, known):
+            return key
+    raise ValueError(
+        "fdct/idct fast path only supports the COS_ENC / COS_DEC regime "
+        "tables (constants.py); got an unknown table"
+    )
 
 
 def fdct(err: jnp.ndarray, table: np.ndarray = COS_ENC, dtype=jnp.float64) -> jnp.ndarray:

@@ -362,12 +362,23 @@ def pack_header(height: int, width: int, qdc: int, qac: int, period: int) -> byt
 
 
 def parse_header(data: bytes):
-    assert data[:5] == bytes([0, 73, 67, 83, 80]), "bad magic"
+    """Parse the 14-byte header (readHeader, dec src:14-37).
+
+    Raises ValueError (not assert — asserts vanish under -O) on a short
+    or wrong-magic header."""
+    if len(data) < 14:
+        raise ValueError(f"bitstream header needs 14 bytes, got {len(data)}")
+    if data[:5] != bytes([0, 73, 67, 83, 80]):
+        raise ValueError("bad bitstream magic (expected \\0ICSP)")
     height = int.from_bytes(data[5:7], "little")
     width = int.from_bytes(data[7:9], "little")
     qdc, qac = data[9], data[10]
     outro = int.from_bytes(data[12:14], "little")
     period = (outro & 0x1F80) >> 7
+    if height <= 0 or width <= 0 or height % 16 or width % 16:
+        raise ValueError(f"corrupt header: dimensions {width}x{height}")
+    if qdc < 1 or qac < 1:
+        raise ValueError(f"corrupt header: QP {qdc}/{qac}")
     return height, width, qdc, qac, period
 
 

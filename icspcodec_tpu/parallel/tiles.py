@@ -439,7 +439,6 @@ def encode_inter_frames_tiled(cur, prev, qdc: int, qac: int, mesh: Mesh, axis: s
             recon_cb=spec, cb_scan=spec, cb_acflag=spec,
             recon_cr=spec, cr_scan=spec, cr_acflag=spec,
         ),
-        check_vma=False,
     )
     def run(cy, ccb, ccr, py, pcb, pcr):
         return encode_inter_frame_tiled(

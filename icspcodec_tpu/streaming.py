@@ -16,6 +16,7 @@ bit remainders exactly like the single-shot writer.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import pathlib
@@ -27,6 +28,28 @@ from .bitstream import frame_items, pack_header
 from .codec import _acflag, _encode_gop_jit, _encode_intra_jit, _me_impl, _np, _device_for
 from .config import CodecConfig
 from .metrics import GopRecord, MetricsLog, psnr_y
+
+# Bump when the encoder's output for identical (config, content) changes;
+# stale chunks from an older format version are rejected on resume.
+FORMAT_VERSION = 1
+
+
+def _gop_fingerprint(y, cb, cr, cfg: CodecConfig) -> str:
+    """Content+config fingerprint of one GOP job.
+
+    Resume must never splice a chunk produced from different input frames,
+    a different QP/period/precision, or an older encoder format into the
+    bitstream (the chunk filename only encodes the GOP index)."""
+    h = hashlib.sha256()
+    h.update(
+        json.dumps(
+            [FORMAT_VERSION, cfg.width, cfg.height, cfg.qp_dc, cfg.qp_ac,
+             cfg.intra_period, cfg.precision],
+        ).encode()
+    )
+    for arr in (y, cb, cr):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
 
 
 def _gop_items(y, cb, cr, cfg: CodecConfig):
@@ -80,11 +103,22 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
     ]
     metrics = metrics or MetricsLog(str(wd / "metrics.jsonl"))
 
+    import jax
+
+    proc = jax.process_index()
     all_codes, all_lengths = [], []
     for g, idxs in gops:
         chunk = wd / f"gop_{g:05d}.npz"
+        fp = _gop_fingerprint(y[idxs], cb[idxs], cr[idxs], cfg)
         if chunk.exists():
             data = np.load(chunk)
+            stored = str(data["fingerprint"]) if "fingerprint" in data else None
+            if stored != fp:
+                raise ValueError(
+                    f"{chunk} was produced from different input/config "
+                    f"(fingerprint {stored} != {fp}); refusing to resume — "
+                    "use a fresh workdir or delete the stale chunks"
+                )
             all_codes.append(data["codes"])
             all_lengths.append(data["lengths"])
             continue
@@ -94,7 +128,7 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
         )
         wall = time.time() - t0
         tmp = chunk.with_suffix(".tmp.npz")
-        np.savez_compressed(tmp, codes=codes, lengths=lengths)
+        np.savez_compressed(tmp, codes=codes, lengths=lengths, fingerprint=fp)
         os.replace(tmp, chunk)  # atomic: a crash never leaves a bad chunk
         metrics.add(
             GopRecord(
@@ -104,6 +138,7 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
                 bits=int(lengths.sum()),
                 wall_s=wall,
                 psnr_y_db=psnr_y(np.stack(recon["y"]), y[idxs]),
+                process_index=proc,
             )
         )
         all_codes.append(codes)

@@ -38,8 +38,13 @@ def test_two_process_gop_sharding_matches_single(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o
 
-    sums = [int((tmp_path / f"proc{i}.txt").read_text()) for i in range(2)]
-    assert sums[0] == sums[1]
+    # every process dumped the full global symbol arrays: byte-compare
+    # across processes AND against a single-process encode of the same
+    # data (array equality — a checksum could hide compensating errors)
+    dumps = [dict(np.load(tmp_path / f"proc{i}.npz")) for i in range(2)]
+    assert dumps[0].keys() == dumps[1].keys()
+    for k in dumps[0]:
+        assert np.array_equal(dumps[0][k], dumps[1][k]), k
 
     # single-process reference on identical data
     from icspcodec_tpu.constants import COS_ENC
@@ -53,8 +58,11 @@ def test_two_process_gop_sharding_matches_single(tmp_path):
     intra, inter = jax.jit(
         lambda a, b, c: encode_gop(a, b, c, 16, 16, table=COS_ENC, dtype=jnp.float32)
     )(y, cb, cr)
-    want = sum(
-        int(np.asarray(v).astype(np.int64).sum())
-        for t in (intra, inter) for v in t.values()
-    )
-    assert sums[0] == want
+    want = {
+        f"{tag}_{k}": np.asarray(v)
+        for tag, tree in (("intra", intra), ("inter", inter))
+        for k, v in tree.items()
+    }
+    assert dumps[0].keys() == want.keys()
+    for k in want:
+        assert np.array_equal(dumps[0][k], want[k]), k

@@ -52,15 +52,19 @@ yg, cbg, crg = host_local_gop_batch(y[lo:hi], cb[lo:hi], cr[lo:hi], mesh)
 
 intra, inter = encode_gops_sharded(yg, cbg, crg, 16, 16, mesh, dtype=jnp.float32)
 
+# materialize the FULL global result on every process (the outputs are
+# G-sharded jax.Arrays; all-gather via replication so each process can dump
+# the complete symbol arrays for byte-comparison against the single-process
+# reference — a checksum could hide compensating errors)
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-@jax.jit
-def checksum(intra, inter):
-    return sum(
-        jnp.sum(v.astype(jnp.int64)) for t in (intra, inter) for v in t.values()
-    )
-
-
-s = int(np.asarray(checksum(intra, inter)))
-out = pathlib.Path(outdir) / f"proc{pid}.txt"
-out.write_text(str(s))
-print(f"proc {pid}: checksum {s}")
+rep = NamedSharding(mesh, P())
+gather = jax.jit(lambda x: x, out_shardings=rep)
+full = {
+    f"{tag}_{k}": np.asarray(gather(v))
+    for tag, tree in (("intra", intra), ("inter", inter))
+    for k, v in tree.items()
+}
+out = pathlib.Path(outdir) / f"proc{pid}.npz"
+np.savez(out, **full)
+print(f"proc {pid}: wrote {len(full)} arrays")
