@@ -32,6 +32,16 @@ def main(argv=None):
     enc.add_argument("--width", type=int, default=352)
     enc.add_argument("--height", type=int, default=288)
     enc.add_argument("--precision", choices=["exact", "fast"], default="exact")
+    enc.add_argument(
+        "--gopShards", type=int, default=1,
+        help="devices on the gop mesh axis (the --EnMultiThread analog, "
+             "enc src:150-157); bitstream is byte-identical at any count",
+    )
+    enc.add_argument(
+        "--tileShards", type=int, default=1,
+        help="devices on the spatial tile mesh axis (halo-exchange "
+             "MB-column sharding); mutually exclusive with --gopShards",
+    )
     enc.add_argument("-o", default=None, help="output bitstream path")
     enc.add_argument("--recon", default=None, help="write recon YUV here")
 
@@ -41,8 +51,22 @@ def main(argv=None):
     dec.add_argument("-o", default=None, help="output YUV path")
     dec.add_argument("--orig", default=None, help="original YUV for PSNR")
     dec.add_argument("--precision", choices=["exact", "fast"], default="exact")
+    dec.add_argument(
+        "--gopShards", type=int, default=1,
+        help="devices on the gop mesh axis for sharded decode",
+    )
 
     args = ap.parse_args(argv)
+
+    shards = max(getattr(args, "gopShards", 1), getattr(args, "tileShards", 1))
+    if shards > 1 and args.precision == "exact" and "jax" not in sys.modules:
+        # exact mode runs on the CPU backend, which exposes 1 device unless
+        # the virtual device count is forced before jax initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={shards}"
+            ).strip()
 
     if args.cmd == "encode":
         if args.precision == "exact":
@@ -60,6 +84,7 @@ def main(argv=None):
         cfg = CodecConfig(
             width=args.width, height=args.height, qp_dc=qdc, qp_ac=qac,
             intra_period=args.intraPeriod, precision=args.precision,
+            gop_shards=args.gopShards, tile_shards=args.tileShards,
         )
         y, cb, cr = load_yuv420(args.i, cfg.width, cfg.height, args.n)
         t0 = time.time()
@@ -86,7 +111,8 @@ def main(argv=None):
 
         data = open(args.i, "rb").read()
         t0 = time.time()
-        out = decode(data, args.n, precision=args.precision)
+        out = decode(data, args.n, precision=args.precision,
+                     gop_shards=args.gopShards)
         dt = time.time() - t0
         print(f"decoded {args.n} frames in {dt:.2f}s ({args.n / dt:.1f} frames/s)")
         if args.o:

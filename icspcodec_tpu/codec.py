@@ -114,7 +114,14 @@ def _np(tree):
 
 def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
     """y: (F, H, W) uint8; cb/cr: (F, H/2, W/2).  Returns (bitstream bytes,
-    recon dict of (F, ...) uint8 planes)."""
+    recon dict of (F, ...) uint8 planes).
+
+    cfg.gop_shards > 1 runs the GOP batches SPMD over a `gop` device mesh
+    (the --EnMultiThread analog, reference enc src:150-157 +
+    ICSP_thread.cpp:39-77); the bitstream is byte-identical at any shard
+    count because closed GOPs share no state and the host writer orders
+    items by frame index, exactly like the reference's per-GOP job queue.
+    """
     nf = y.shape[0]
     eff = cfg.eff_period
     exact = cfg.precision == "exact"
@@ -124,6 +131,12 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
             "jax.config.update('jax_enable_x64', True) before encoding, "
             "or use precision='fast'"
         )
+    mesh = None
+    if cfg.gop_shards > 1:
+        from .parallel.gop import mesh_for
+
+        mesh = mesh_for(cfg.gop_shards, exact)
+    dt = jnp.float64 if exact else jnp.float32
 
     rec_y = np.zeros_like(y)
     rec_cb = np.zeros_like(cb)
@@ -141,8 +154,13 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
         rec_cr[idxs] = out["recon_cr"]
 
     if eff == 1:
-        with _device_for(exact):
-            out = _np(_encode_intra_jit(y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact))
+        if mesh is not None:
+            from .parallel.gop import encode_intra_padded
+
+            out = encode_intra_padded(y, cb, cr, cfg.qp_dc, cfg.qp_ac, mesh, dtype=dt)
+        else:
+            with _device_for(exact):
+                out = _np(_encode_intra_jit(y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact))
         emit_intra(out, np.arange(nf))
     else:
         nfull, rem = divmod(nf, eff)
@@ -156,13 +174,27 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
             yb = y[idx.ravel()].reshape(g, p, *y.shape[1:])
             cbb = cb[idx.ravel()].reshape(g, p, *cb.shape[1:])
             crb = cr[idx.ravel()].reshape(g, p, *cr.shape[1:])
-            with _device_for(exact):
-                intra, inter = _np(
-                    _encode_gop_jit(yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact))
-                ) if p > 1 else (
-                    _np(_encode_intra_jit(yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact)),
-                    None,
-                )
+            if mesh is not None:
+                from .parallel.gop import encode_gops_padded, encode_intra_padded
+
+                if p > 1:
+                    intra, inter = encode_gops_padded(
+                        yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, mesh,
+                        dtype=dt, me=_me_impl(exact),
+                    )
+                else:
+                    intra, inter = encode_intra_padded(
+                        yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac,
+                        mesh, dtype=dt,
+                    ), None
+            else:
+                with _device_for(exact):
+                    intra, inter = _np(
+                        _encode_gop_jit(yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact))
+                    ) if p > 1 else (
+                        _np(_encode_intra_jit(yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact)),
+                        None,
+                    )
             emit_intra(intra, idx[:, 0])
             if inter is not None:
                 pidx = idx[:, 1:].ravel()
@@ -227,8 +259,12 @@ def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me="xla"):
     return first, rest
 
 
-def decode(data: bytes, nframes: int, precision: str = "exact"):
-    """Decode a bitstream; returns dict of (F, ...) uint8 planes."""
+def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int = 1):
+    """Decode a bitstream; returns dict of (F, ...) uint8 planes.
+
+    gop_shards > 1 decodes GOP batches SPMD over a `gop` device mesh
+    (planes identical at any shard count; the reference decoder is serial,
+    so this has no referent — it mirrors the encode-side sharding)."""
     height, width, qdc, qac, period = parse_header(data[:14])
     syms = parse_body(data[14:], nframes, height, width, period)
     eff = 1 if period == 0 else period
@@ -239,17 +275,31 @@ def decode(data: bytes, nframes: int, precision: str = "exact"):
             "jax.config.update('jax_enable_x64', True) before decoding, "
             "or use precision='fast'"
         )
+    mesh = None
+    if gop_shards > 1:
+        from .parallel.gop import mesh_for
+
+        mesh = mesh_for(gop_shards, exact)
+    dt = jnp.float64 if exact else jnp.float32
 
     y = np.zeros((nframes, height, width), np.uint8)
     cb = np.zeros((nframes, height // 2, width // 2), np.uint8)
     cr = np.zeros((nframes, height // 2, width // 2), np.uint8)
 
     if eff == 1:
-        with _device_for(exact):
-            out = _np(_decode_intra_jit(
-                syms["y_scan"], syms["mpm"], syms["mode_bit"],
-                syms["cb_scan"], syms["cr_scan"], qdc, qac, exact,
-            ))
+        if mesh is not None:
+            from .parallel.gop import decode_intra_padded
+
+            out = decode_intra_padded(
+                {k: syms[k] for k in ("y_scan", "mpm", "mode_bit", "cb_scan", "cr_scan")},
+                qdc, qac, mesh, dtype=dt,
+            )
+        else:
+            with _device_for(exact):
+                out = _np(_decode_intra_jit(
+                    syms["y_scan"], syms["mpm"], syms["mode_bit"],
+                    syms["cb_scan"], syms["cr_scan"], qdc, qac, exact,
+                ))
         y[:], cb[:], cr[:] = out["y"], out["cb"], out["cr"]
     else:
         nfull, rem = divmod(nframes, eff)
@@ -265,11 +315,16 @@ def decode(data: bytes, nframes: int, precision: str = "exact"):
                 for k in ("y_scan", "mpm", "mode_bit", "cb_scan", "cr_scan")
             }
             if p == 1:
-                with _device_for(exact):
-                    out = _np(_decode_intra_jit(
-                        sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
-                        sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, exact,
-                    ))
+                if mesh is not None:
+                    from .parallel.gop import decode_intra_padded
+
+                    out = decode_intra_padded(sym_i, qdc, qac, mesh, dtype=dt)
+                else:
+                    with _device_for(exact):
+                        out = _np(_decode_intra_jit(
+                            sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
+                            sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, exact,
+                        ))
                 for gi, n in enumerate(idx[:, 0]):
                     y[n], cb[n], cr[n] = out["y"][gi], out["cb"][gi], out["cr"][gi]
                 continue
@@ -278,8 +333,15 @@ def decode(data: bytes, nframes: int, precision: str = "exact"):
                 k: syms[k][pidx].reshape(g, p - 1, *syms[k].shape[1:])
                 for k in ("y_scan", "mv_diff", "cb_scan", "cr_scan")
             }
-            with _device_for(exact):
-                first, rest = _np(_decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me=_me_impl(exact)))
+            if mesh is not None:
+                from .parallel.gop import decode_gops_padded
+
+                first, rest = decode_gops_padded(
+                    sym_i, sym_p, qdc, qac, mesh, dtype=dt, me=_me_impl(exact)
+                )
+            else:
+                with _device_for(exact):
+                    first, rest = _np(_decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me=_me_impl(exact)))
             for gi in range(g):
                 n0 = int(idx[gi, 0])
                 y[n0], cb[n0], cr[n0] = first["y"][gi], first["cb"][gi], first["cr"][gi]

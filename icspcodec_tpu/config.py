@@ -14,6 +14,29 @@ class CodecConfig:
     precision: str = "exact"   # "exact": float64, bit-exact vs the C++
     #                            reference; "fast": float32 compute path
     #                            for TPU throughput (PSNR-equivalent)
+    gop_shards: int = 1        # devices on the `gop` mesh axis: closed
+    #                            GOPs (frames, when all-intra) are data-
+    #                            parallel (the --EnMultiThread analog,
+    #                            ICSP_thread.cpp:39-77) — output bitstream
+    #                            is byte-identical at any shard count
+    tile_shards: int = 1       # devices on the `tile` mesh axis: spatial
+    #                            MB-column sharding with ppermute halo
+    #                            exchange (parallel/tiles.py); must divide
+    #                            width/16
+
+    def __post_init__(self):
+        if self.gop_shards < 1:
+            raise ValueError(f"gop_shards must be >= 1, got {self.gop_shards}")
+        if self.tile_shards < 1:
+            raise ValueError(f"tile_shards must be >= 1, got {self.tile_shards}")
+        if self.tile_shards > 1 and (self.width // 16) % self.tile_shards:
+            raise ValueError(
+                f"tile_shards={self.tile_shards} must divide the "
+                f"{self.width // 16} macroblock columns"
+            )
+        if self.gop_shards > 1 and self.tile_shards > 1:
+            raise ValueError("gop_shards and tile_shards are mutually "
+                             "exclusive for now (one mesh axis per encode)")
 
     @property
     def eff_period(self) -> int:

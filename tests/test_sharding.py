@@ -46,6 +46,52 @@ def test_gop_sharded_equals_single(gops):
         assert np.array_equal(np.asarray(inter_s[k]), np.asarray(inter_1[k])), k
 
 
+def _seq(nf):
+    raw = synth_sequence("synthA", nf).tobytes()
+    return load_yuv420(raw, W, H, nf)
+
+
+@pytest.mark.parametrize("shards", [3, 8])
+@pytest.mark.parametrize("period,precision", [(10, "fast"), (10, "exact"), (0, "fast")])
+def test_encode_production_sharded_bitstream(shards, period, precision):
+    """codec.encode() with gop_shards>1 (the production path) emits a
+    byte-identical bitstream and recon to the single-device encode —
+    including a non-dividing GOP count (padding path) and both precisions."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from icspcodec_tpu.codec import encode
+    from icspcodec_tpu.config import CodecConfig
+
+    nf = 25 if period else 7  # 2 full GOPs + a 5-frame tail / 7 intra frames
+    y, cb, cr = _seq(nf)
+    base = dict(width=W, height=H, qp_dc=16, qp_ac=16,
+                intra_period=period, precision=precision)
+    bits1, rec1 = encode(y, cb, cr, CodecConfig(**base))
+    bitsN, recN = encode(y, cb, cr, CodecConfig(**base, gop_shards=shards))
+    assert bitsN == bits1
+    for k in rec1:
+        assert np.array_equal(recN[k], rec1[k]), k
+
+
+@pytest.mark.parametrize("period", [10, 0])
+def test_decode_production_sharded(period):
+    """decode() with gop_shards>1 reproduces the single-device planes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from icspcodec_tpu.codec import decode, encode
+    from icspcodec_tpu.config import CodecConfig
+
+    nf = 25 if period else 7
+    y, cb, cr = _seq(nf)
+    cfg = CodecConfig(width=W, height=H, qp_dc=16, qp_ac=16,
+                      intra_period=period, precision="fast")
+    bits, _ = encode(y, cb, cr, cfg)
+    out1 = decode(bits, nf, precision="fast")
+    outN = decode(bits, nf, precision="fast", gop_shards=8)
+    for k in out1:
+        assert np.array_equal(outN[k], out1[k]), k
+
+
 def test_gop_sharding_is_spmd(gops):
     """The sharded computation must not introduce cross-GOP collectives:
     compiling for the mesh should keep the per-device shard shape G/8."""
