@@ -55,6 +55,10 @@ def main(argv=None):
         "--gopShards", type=int, default=1,
         help="devices on the gop mesh axis for sharded decode",
     )
+    dec.add_argument(
+        "--tileShards", type=int, default=1,
+        help="devices on the spatial tile mesh axis for sharded decode",
+    )
 
     args = ap.parse_args(argv)
 
@@ -112,7 +116,7 @@ def main(argv=None):
         data = open(args.i, "rb").read()
         t0 = time.time()
         out = decode(data, args.n, precision=args.precision,
-                     gop_shards=args.gopShards)
+                     gop_shards=args.gopShards, tile_shards=args.tileShards)
         dt = time.time() - t0
         print(f"decoded {args.n} frames in {dt:.2f}s ({args.n / dt:.1f} frames/s)")
         if args.o:

@@ -136,6 +136,11 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
         from .parallel.gop import mesh_for
 
         mesh = mesh_for(cfg.gop_shards, exact)
+    tmesh = None
+    if cfg.tile_shards > 1:
+        from .parallel.tiles import tile_mesh_for
+
+        tmesh = tile_mesh_for(cfg.tile_shards, exact)
     dt = jnp.float64 if exact else jnp.float32
 
     rec_y = np.zeros_like(y)
@@ -154,7 +159,13 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
         rec_cr[idxs] = out["recon_cr"]
 
     if eff == 1:
-        if mesh is not None:
+        if tmesh is not None:
+            from .parallel.tiles import encode_intra_frames_tiled
+
+            out = _np(encode_intra_frames_tiled(
+                y, cb, cr, cfg.qp_dc, cfg.qp_ac, tmesh, dtype=dt
+            ))
+        elif mesh is not None:
             from .parallel.gop import encode_intra_padded
 
             out = encode_intra_padded(y, cb, cr, cfg.qp_dc, cfg.qp_ac, mesh, dtype=dt)
@@ -174,7 +185,20 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
             yb = y[idx.ravel()].reshape(g, p, *y.shape[1:])
             cbb = cb[idx.ravel()].reshape(g, p, *cb.shape[1:])
             crb = cr[idx.ravel()].reshape(g, p, *cr.shape[1:])
-            if mesh is not None:
+            if tmesh is not None:
+                from .parallel.tiles import encode_gop_tiled, encode_intra_frames_tiled
+
+                if p > 1:
+                    intra, inter = encode_gop_tiled(
+                        yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, tmesh, dtype=dt
+                    )
+                    intra, inter = _np(intra), _np(inter)
+                else:
+                    intra, inter = _np(encode_intra_frames_tiled(
+                        yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac,
+                        tmesh, dtype=dt,
+                    )), None
+            elif mesh is not None:
                 from .parallel.gop import encode_gops_padded, encode_intra_padded
 
                 if p > 1:
@@ -259,12 +283,17 @@ def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me="xla"):
     return first, rest
 
 
-def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int = 1):
+def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int = 1,
+           tile_shards: int = 1):
     """Decode a bitstream; returns dict of (F, ...) uint8 planes.
 
     gop_shards > 1 decodes GOP batches SPMD over a `gop` device mesh
     (planes identical at any shard count; the reference decoder is serial,
-    so this has no referent — it mirrors the encode-side sharding)."""
+    so this has no referent — it mirrors the encode-side sharding).
+    tile_shards > 1 shards each frame's width over a `tile` mesh with halo
+    exchange instead (mutually exclusive with gop_shards)."""
+    if gop_shards > 1 and tile_shards > 1:
+        raise ValueError("gop_shards and tile_shards are mutually exclusive")
     height, width, qdc, qac, period = parse_header(data[:14])
     syms = parse_body(data[14:], nframes, height, width, period)
     eff = 1 if period == 0 else period
@@ -280,6 +309,11 @@ def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int 
         from .parallel.gop import mesh_for
 
         mesh = mesh_for(gop_shards, exact)
+    tmesh = None
+    if tile_shards > 1:
+        from .parallel.tiles import tile_mesh_for
+
+        tmesh = tile_mesh_for(tile_shards, exact)
     dt = jnp.float64 if exact else jnp.float32
 
     y = np.zeros((nframes, height, width), np.uint8)
@@ -287,7 +321,14 @@ def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int 
     cr = np.zeros((nframes, height // 2, width // 2), np.uint8)
 
     if eff == 1:
-        if mesh is not None:
+        if tmesh is not None:
+            from .parallel.tiles import decode_intra_frames_tiled
+
+            out = _np(decode_intra_frames_tiled(
+                {k: syms[k] for k in ("y_scan", "mpm", "mode_bit", "cb_scan", "cr_scan")},
+                qdc, qac, tmesh, dtype=dt,
+            ))
+        elif mesh is not None:
             from .parallel.gop import decode_intra_padded
 
             out = decode_intra_padded(
@@ -315,7 +356,11 @@ def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int 
                 for k in ("y_scan", "mpm", "mode_bit", "cb_scan", "cr_scan")
             }
             if p == 1:
-                if mesh is not None:
+                if tmesh is not None:
+                    from .parallel.tiles import decode_intra_frames_tiled
+
+                    out = _np(decode_intra_frames_tiled(sym_i, qdc, qac, tmesh, dtype=dt))
+                elif mesh is not None:
                     from .parallel.gop import decode_intra_padded
 
                     out = decode_intra_padded(sym_i, qdc, qac, mesh, dtype=dt)
@@ -333,7 +378,12 @@ def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int 
                 k: syms[k][pidx].reshape(g, p - 1, *syms[k].shape[1:])
                 for k in ("y_scan", "mv_diff", "cb_scan", "cr_scan")
             }
-            if mesh is not None:
+            if tmesh is not None:
+                from .parallel.tiles import decode_gop_tiled
+
+                first, rest = decode_gop_tiled(sym_i, sym_p, qdc, qac, tmesh, dtype=dt)
+                first, rest = _np(first), _np(rest)
+            elif mesh is not None:
                 from .parallel.gop import decode_gops_padded
 
                 first, rest = decode_gops_padded(

@@ -38,6 +38,20 @@ from ..ops.transforms import fdct, idct
 from ..engine.wavefront import luma_dc_kind
 
 
+def tile_mesh_for(shards: int, exact: bool, devices=None) -> Mesh:
+    """Build the `tile` mesh for a production tiled encode/decode.
+    exact mode must run on the CPU backend (TPU f64 is double-double
+    emulation); fast mode uses the default backend's devices."""
+    if devices is None:
+        devices = jax.devices("cpu") if exact else jax.devices()
+    if len(devices) < shards:
+        raise ValueError(
+            f"tile_shards={shards} but only {len(devices)} "
+            f"{'CPU (exact-mode) ' if exact else ''}devices are available"
+        )
+    return Mesh(np.asarray(devices[:shards]), axis_names=("tile",))
+
+
 # ---------------------------------------------------------------------------
 # per-tile schedules
 # ---------------------------------------------------------------------------
@@ -419,6 +433,176 @@ def encode_inter_frame_tiled(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qd
     return out
 
 
+# ---------------------------------------------------------------------------
+# tiled intra chroma + full tiled intra frame (symbols -> bitstream-ready)
+# ---------------------------------------------------------------------------
+
+
+def encode_chroma_tiled(planes_local, qdc: int, qac: int, cgw: int, ntiles: int, axis: str = "tile", table=COS_ENC, dtype=jnp.float32):
+    """Per-shard intra/inter chroma chain on a column tile (inside
+    shard_map).  planes_local: (F2, Hc, Wcl) pixel planes (intra) or
+    (F2, ch, cwl, 8, 8) residual blocks (inter).  Only the DC DPCM chain
+    crosses seams: the (F2, ch, cgw) DC plane is all-gathered (a few KB),
+    the diagonal scan runs replicated, and the local columns are sliced
+    back — same recipe as the tiled inter luma DC chain.
+    Semantics identical to engine.intra.encode_chroma_batch
+    (reference intraCbCr enc src:1876-1903)."""
+    from ..engine.intra import to_blocks
+    from ..engine.wavefront import chroma_dc_kind, dc_dpcm_scan
+    from ..ops.quant import ac_flag
+
+    if planes_local.ndim == 3:
+        blocks = to_blocks(planes_local).astype(jnp.int32)
+    else:
+        blocks = planes_local
+    ch, cwl = blocks.shape[1:3]
+    t_idx = jax.lax.axis_index(axis)
+    d = fdct(blocks, table=table, dtype=dtype)
+    dcf = jax.lax.all_gather(d[..., 0, 0], axis, axis=2, tiled=True)
+    q_dcf, dq_dcf = dc_dpcm_scan(dcf, chroma_dc_kind(ch, cgw), qdc, chroma=True)
+    q_dc = jax.lax.dynamic_slice_in_dim(q_dcf, t_idx * cwl, cwl, axis=2)
+    dq_dc = jax.lax.dynamic_slice_in_dim(dq_dcf, t_idx * cwl, cwl, axis=2)
+    q = quant_block(d, qdc, qac, chroma=True)
+    q = q.at[..., 0, 0].set(q_dc)
+    sc = zigzag(q)
+    acf = ac_flag(q)
+    iq = dequant_block(q, qdc, qac)
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r = idct(iq, table=table, dtype=dtype)
+    return dict(scan=sc, acflag=acf, idct=r)
+
+
+def encode_intra_frame_tiled(y_local, cb_local, cr_local, qdc: int, qac: int, gw: int, ntiles: int, axis: str = "tile", table=COS_ENC, dtype=jnp.float32):
+    """Per-shard full intra frame encode (luma wavefront + chroma) on a
+    column tile.  Returns the same dict as engine.intra.encode_intra_frames
+    (all bitstream symbols + recon planes), tile-local slices."""
+    from ..engine.intra import _acflag_from_scan, from_blocks, to_blocks
+
+    orig = to_blocks(y_local).astype(jnp.int32)
+    lum = intra_luma_scan_tiled(
+        orig, qdc, qac, gw, ntiles, axis=axis, table=table, dtype=dtype
+    )
+    out = dict(
+        recon_y=from_blocks(lum["recon"]).astype(jnp.uint8),
+        y_scan=lum["scan"].astype(jnp.int16),
+        y_acflag=_acflag_from_scan(lum["scan"]).astype(jnp.int8),
+        mpm=lum["mpm"].astype(jnp.int8),
+        mode_bit=lum["mode_bit"].astype(jnp.int8),
+    )
+    f = cb_local.shape[0]
+    c = encode_chroma_tiled(
+        jnp.concatenate([cb_local, cr_local]), qdc, qac, gw // 2, ntiles,
+        axis=axis, table=table, dtype=dtype,
+    )
+    rec = from_blocks(jnp.clip(c_trunc(c["idct"]), 0, 255).astype(jnp.uint8))
+    for i, name in enumerate(("cb", "cr")):
+        sl = slice(i * f, (i + 1) * f)
+        out[f"recon_{name}"] = rec[sl]
+        out[f"{name}_scan"] = c["scan"][sl].astype(jnp.int16)
+        out[f"{name}_acflag"] = c["acflag"][sl].astype(jnp.int8)
+    return out
+
+
+def _intra_specs(axis: str):
+    """Out specs for the intra output dict: every array is sharded on its
+    width-like axis (pixel W for planes, block column for symbol grids)."""
+    plane = P(None, None, axis)
+    grid3 = P(None, None, axis)           # (F, gh, gw)
+    grid4 = P(None, None, axis, None)     # (F, gh, gw, 64)
+    return dict(
+        recon_y=plane, y_scan=grid4, y_acflag=grid3, mpm=grid3, mode_bit=grid3,
+        recon_cb=plane, cb_scan=grid4, cb_acflag=grid3,
+        recon_cr=plane, cr_scan=grid4, cr_acflag=grid3,
+    )
+
+
+def encode_intra_frames_tiled(y, cb, cr, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
+    """Driver: full tiled intra encode of (F, H, W) frames, width sharded
+    over `axis`.  Returns the engine.intra.encode_intra_frames dict —
+    symbols feed the bitstream writer directly (bit-exact at seams)."""
+    ntiles = mesh.shape[axis]
+    h, w = y.shape[-2:]
+    if (w // 16) % ntiles:
+        raise ValueError(f"ntiles={ntiles} must divide {w // 16} MB columns")
+    gw = w // 8
+    spec = P(None, None, axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 3,
+        out_specs=_intra_specs(axis),
+    )
+    def run(yl, cbl, crl):
+        return encode_intra_frame_tiled(
+            yl, cbl, crl, qdc, qac, gw, ntiles, axis=axis, dtype=dtype
+        )
+
+    return run(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))
+
+
+def encode_gop_tiled(y, cb, cr, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
+    """Driver: tiled encode of (G, P, H, W) closed GOPs — the tile-parallel
+    analog of engine.inter.encode_gop.  The per-GOP frame scan runs inside
+    shard_map so the recon carry stays tile-local; only halos/DC chains
+    cross seams each step.  Returns (intra, inter) like encode_gop."""
+    g, p = y.shape[:2]
+    ntiles = mesh.shape[axis]
+    h, w = y.shape[-2:]
+    if (w // 16) % ntiles:
+        raise ValueError(f"ntiles={ntiles} must divide {w // 16} MB columns")
+    gw = w // 8
+    spec = P(None, None, None, axis)
+    ispecs = _intra_specs(axis)
+    # inter outputs carry an extra leading (P-1) scan axis
+    inter_specs = {
+        k: P(*((None,) + tuple(ispecs[k])))
+        for k in ("recon_y", "y_scan", "y_acflag",
+                  "recon_cb", "cb_scan", "cb_acflag",
+                  "recon_cr", "cr_scan", "cr_acflag")
+    }
+    inter_specs["mv_diff"] = P(None, None, None, axis, None)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 3,
+        out_specs=(ispecs, inter_specs) if p > 1 else ispecs,
+    )
+    def run(yl, cbl, crl):
+        intra = encode_intra_frame_tiled(
+            yl[:, 0], cbl[:, 0], crl[:, 0], qdc, qac, gw, ntiles,
+            axis=axis, dtype=dtype,
+        )
+        if p == 1:
+            return intra
+
+        def step(carry, xs):
+            py, pcb, pcr = carry
+            cy, ccb, ccr = xs
+            o = encode_inter_frame_tiled(
+                cy, ccb, ccr, py, pcb, pcr, qdc, qac, gw, ntiles,
+                axis=axis, dtype=dtype,
+            )
+            return (o["recon_y"], o["recon_cb"], o["recon_cr"]), o
+
+        xs = (
+            jnp.moveaxis(yl[:, 1:], 1, 0),
+            jnp.moveaxis(cbl[:, 1:], 1, 0),
+            jnp.moveaxis(crl[:, 1:], 1, 0),
+        )
+        init = (intra["recon_y"], intra["recon_cb"], intra["recon_cr"])
+        _, inter = jax.lax.scan(step, init, xs)
+        return intra, inter
+
+    if p == 1:
+        return run(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)), None
+    intra, inter = run(jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr))
+    # scan stacks inter on a leading (P-1) axis -> (G, P-1, ...)
+    inter = {k: jnp.moveaxis(v, 0, 1) for k, v in inter.items()}
+    return intra, inter
+
+
 def encode_inter_frames_tiled(cur, prev, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
     """Driver: encode a batch of inter frames with width sharded over
     `axis`.  cur/prev: dicts of (F, H, W) y/cb/cr planes.  Tiles must be
@@ -449,3 +633,270 @@ def encode_inter_frames_tiled(cur, prev, qdc: int, qac: int, mesh: Mesh, axis: s
         jnp.asarray(cur["y"]), jnp.asarray(cur["cb"]), jnp.asarray(cur["cr"]),
         jnp.asarray(prev["y"]), jnp.asarray(prev["cb"]), jnp.asarray(prev["cr"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# tiled decode: intra wavefront with recon/mode halos, inter MC with pixel
+# halos.  The reference decoder is serial (decoder src:2083-2272); seam
+# semantics mirror the encode-side tiling exactly.
+# ---------------------------------------------------------------------------
+
+
+def intra_luma_decode_scan_tiled(r_local, mpm_local, mbit_local, gw: int, ntiles: int, axis: str = "tile", dtype=jnp.float32):
+    """Per-shard tiled intra luma decode wavefront (inside shard_map).
+
+    r_local: (F, gh, gwl, 8, 8) float inverse-DCT blocks (DC chain already
+    applied); mpm/mbit: (F, gh, gwl) int32.  Only the reconstructed pixel
+    column and the intra mode cross seams (rightward) — the decode
+    wavefront has no leftward dependency.  Semantics identical to
+    engine.wavefront.intra_luma_decode_scan."""
+    fdim, gh, gwl = r_local.shape[:3]
+    t_idx = jax.lax.axis_index(axis)
+    right = [(i, (i + 1) % ntiles) for i in range(ntiles)]
+
+    gys_all, gxs_all, valid_all, send_r_all, _ = tiled_schedule(gh, gw, ntiles)
+    gys = jnp.asarray(gys_all)[t_idx]
+    gxs = jnp.asarray(gxs_all)[t_idx]
+    valid = jnp.asarray(valid_all)[t_idx]
+    send_r = jnp.asarray(send_r_all)[t_idx]
+    is_first_tile = t_idx == 0
+
+    def body(carry, step):
+        recon, modes, lb_col, lb_mode, send_r_payload = carry
+        gy, gxl, v, sr_gy = step
+
+        rc, rm, rgy, rvalid = jax.lax.ppermute(send_r_payload, axis, right)
+        lb_gy = jnp.maximum(rgy, 0)
+        upd = rvalid & ~is_first_tile
+        lb_col = jnp.where(upd, lb_col.at[:, lb_gy].set(rc), lb_col)
+        lb_mode = jnp.where(upd, lb_mode.at[:, lb_gy].set(rm), lb_mode)
+
+        gyc = jnp.minimum(gy, gh - 1)
+        gxc = jnp.minimum(gxl, gwl - 1)
+        gyu = jnp.maximum(gyc - 1, 0)
+        gxleft = jnp.maximum(gxc - 1, 0)
+        first_col = gxc == 0
+        gx_global = gxc + t_idx * gwl
+        has_up = (gyc > 0)[None, :]
+        has_left = (gx_global > 0)[None, :]
+        first = ~has_up & ~has_left
+
+        lm = jnp.where(first_col[None, :], lb_mode[:, gyc], modes[:, gyc, gxleft])
+        um = modes[:, gyu, gxc]
+        ulm = jnp.where(first_col[None, :], lb_mode[:, gyu], modes[:, gyu, gxleft])
+        pred_mode = jnp.where(
+            has_up & has_left, median3(lm, ulm, um), jnp.where(has_left, lm, um)
+        )
+        fl = mpm_local[:, gyc, gxc]
+        bt = mbit_local[:, gyc, gxc]
+        lo = jnp.where(pred_mode == 0, 1, 0)
+        hi = jnp.where(pred_mode == 2, 1, 2)
+        mode = jnp.where(
+            first, 2, jnp.where(fl == 1, pred_mode, jnp.where(bt == 0, lo, hi))
+        )
+
+        up_row = recon[:, gyu, gxc][..., 7, :]
+        left_col = jnp.where(
+            first_col[None, :, None], lb_col[:, gyc], recon[:, gyc, gxleft][..., :, 7]
+        )
+        lsum = jnp.where(has_left, left_col.sum(-1), 1024)
+        usum = jnp.where(has_up, up_row.sum(-1), 1024)
+        m = mode[..., None, None]
+        pred0 = jnp.where(
+            has_up[..., None, None], up_row[..., None, :].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 8, 1), dtype)
+        pred1 = jnp.where(
+            has_left[..., None, None], left_col[..., :, None].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 1, 8), dtype)
+        pv = ((lsum + usum).astype(dtype) / dtype(16.0))[..., None, None]
+        predsel = jnp.where(m == 0, pred0, jnp.where(m == 1, pred1, pv))
+        rec = jnp.clip(c_trunc(r_local[:, gyc, gxc] + predsel), 0, 255)
+
+        gy_s = jnp.where(v, gy, gh)
+        recon = recon.at[:, gy_s, gxl].set(rec, mode="drop")
+        modes = modes.at[:, gy_s, gxl].set(mode, mode="drop")
+
+        sr = jnp.maximum(sr_gy, 0)
+        send_r_payload = (
+            recon[:, sr, gwl - 1][..., :, 7],
+            modes[:, sr, gwl - 1],
+            sr_gy,
+            sr_gy >= 0,
+        )
+        return (recon, modes, lb_col, lb_mode, send_r_payload), None
+
+    zeros_i = lambda *s: jnp.zeros(s, jnp.int32)
+    init = (
+        zeros_i(fdim, gh, gwl, 8, 8),
+        zeros_i(fdim, gh, gwl),
+        zeros_i(fdim, gh, 8),
+        zeros_i(fdim, gh),
+        (zeros_i(fdim, 8), zeros_i(fdim), jnp.int32(-1), jnp.bool_(False)),
+    )
+    init = jax.tree.map(lambda x: jax.lax.pcast(x, (axis,), to="varying"), init)
+    (recon, _, _, _, _), _ = jax.lax.scan(body, init, (gys, gxs, valid, send_r))
+    return recon
+
+
+def _dc_unchain_tiled(iq_dc_local, kind_full, t_idx, axis: str):
+    """All-gather the dequantized DC residual plane, run the inverse DC
+    chain replicated, slice the local columns back."""
+    from ..engine.wavefront import idc_dpcm_scan
+
+    gwl = iq_dc_local.shape[2]
+    full = jax.lax.all_gather(iq_dc_local, axis, axis=2, tiled=True)
+    dq = idc_dpcm_scan(full, kind_full)
+    return jax.lax.dynamic_slice_in_dim(dq, t_idx * gwl, gwl, axis=2)
+
+
+def _decode_chroma_tiled(scan_local, qdc: int, qac: int, cgw: int, ntiles: int, axis: str, table, dtype):
+    from ..engine.intra import from_blocks
+    from ..engine.wavefront import chroma_dc_kind
+    from ..ops.scanorder import izigzag
+
+    t_idx = jax.lax.axis_index(axis)
+    qc = izigzag(scan_local)
+    iqc = dequant_block(qc, qdc, qac)
+    ch = qc.shape[1]
+    dqc = _dc_unchain_tiled(iqc[..., 0, 0], chroma_dc_kind(ch, cgw), t_idx, axis)
+    iqc = iqc.at[..., 0, 0].set(dqc)
+    return idct(iqc, table=table, dtype=dtype)
+
+
+def decode_intra_frame_tiled(sym_local: dict, qdc: int, qac: int, gw: int, ntiles: int, axis: str = "tile", table=None, dtype=jnp.float32):
+    """Per-shard intra decode on a column tile: symbols -> planes.
+    Semantics identical to engine.intra.decode_intra_frames."""
+    from ..constants import COS_DEC
+    from ..engine.intra import from_blocks
+    from ..ops.scanorder import izigzag
+
+    table = COS_DEC if table is None else table
+    t_idx = jax.lax.axis_index(axis)
+    q = izigzag(sym_local["y_scan"])
+    iq = dequant_block(q, qdc, qac)
+    gh = q.shape[1]
+    dq_dc = _dc_unchain_tiled(iq[..., 0, 0], luma_dc_kind(gh, gw), t_idx, axis)
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r = idct(iq, table=table, dtype=dtype)
+    recon = intra_luma_decode_scan_tiled(
+        r, sym_local["mpm"].astype(jnp.int32), sym_local["mode_bit"].astype(jnp.int32),
+        gw, ntiles, axis=axis, dtype=dtype,
+    )
+    out = dict(y=from_blocks(recon).astype(jnp.uint8))
+    for name in ("cb", "cr"):
+        rc = _decode_chroma_tiled(
+            sym_local[f"{name}_scan"], qdc, qac, gw // 2, ntiles, axis, table, dtype
+        )
+        out[name] = from_blocks(
+            jnp.clip(c_trunc(rc), 0, 255).astype(jnp.uint8)
+        )
+    return out
+
+
+def decode_inter_frame_tiled(sym_local: dict, prev_y, prev_cb, prev_cr, qdc: int, qac: int, gw: int, ntiles: int, axis: str = "tile", table=None, dtype=jnp.float32):
+    """Per-shard inter decode on a column tile.  MC reads the previous
+    recon through ppermute pixel halos; the MV reconstruction wavefront
+    (tiny MB-grid ints) is all-gathered and computed replicated.
+    Semantics identical to engine.inter.decode_inter_frame."""
+    from ..constants import COS_DEC
+    from ..engine.inter import grid8_to_mb, mb_to_grid8, mv_reconstruct_scan
+    from ..engine.intra import from_blocks
+    from ..ops.me import gather_pred
+    from ..ops.scanorder import izigzag
+
+    table = COS_DEC if table is None else table
+    t_idx = jax.lax.axis_index(axis)
+    mbw_l = sym_local["mv_diff"].shape[2]
+    mvd_full = jax.lax.all_gather(sym_local["mv_diff"].astype(jnp.int32), axis, axis=2, tiled=True)
+    mv_full = mv_reconstruct_scan(mvd_full)
+    mv = jax.lax.dynamic_slice_in_dim(mv_full, t_idx * mbw_l, mbw_l, axis=2)
+
+    q = izigzag(sym_local["y_scan"])
+    iq = dequant_block(q, qdc, qac)
+    gh = q.shape[1]
+    dq_dc = _dc_unchain_tiled(iq[..., 0, 0], luma_dc_kind(gh, gw), t_idx, axis)
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
+
+    pad = _pad_tiled(prev_y, 16, ntiles, axis)
+    predf = from_blocks(mb_to_grid8(gather_pred(pad.astype(jnp.int32), mv, 16)))
+    out = dict(y=jnp.clip(predf + inv_f, 0, 255).astype(jnp.uint8))
+
+    mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
+    for name, prev_plane in (("cb", prev_cb), ("cr", prev_cr)):
+        rc = _decode_chroma_tiled(
+            sym_local[f"{name}_scan"], qdc, qac, gw // 2, ntiles, axis, table, dtype
+        )
+        padc = _pad_tiled(prev_plane, 8, ntiles, axis)
+        predcf = from_blocks(gather_pred(padc.astype(jnp.int32), mvc, 8))
+        rec = jnp.clip(c_trunc(predcf.astype(dtype) + from_blocks(rc)), 0, 255)
+        out[name] = rec.astype(jnp.uint8)
+    return out
+
+
+def decode_intra_frames_tiled(sym: dict, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
+    """Driver: tiled decode of F intra frames.  sym keys: y_scan, mpm,
+    mode_bit, cb_scan, cr_scan (full-frame arrays)."""
+    ntiles = mesh.shape[axis]
+    gw = sym["y_scan"].shape[2]
+    grid3 = P(None, None, axis)
+    grid4 = P(None, None, axis, None)
+    in_specs = dict(y_scan=grid4, mpm=grid3, mode_bit=grid3,
+                    cb_scan=grid4, cr_scan=grid4)
+    plane = P(None, None, axis)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+        out_specs=dict(y=plane, cb=plane, cr=plane),
+    )
+    def run(s):
+        return decode_intra_frame_tiled(s, qdc, qac, gw, ntiles, axis=axis, dtype=dtype)
+
+    return run({k: jnp.asarray(sym[k]) for k in in_specs})
+
+
+def decode_gop_tiled(sym_i: dict, sym_p: dict, qdc: int, qac: int, mesh: Mesh, axis: str = "tile", dtype=jnp.float32):
+    """Driver: tiled decode of G GOPs — intra first frame + scanned inter
+    frames, recon carry tile-local.  sym_i: (G, ...) intra symbols;
+    sym_p: (G, P-1, ...) inter symbols.  Returns (first, rest) plane dicts
+    like codec._decode_gop_jit."""
+    ntiles = mesh.shape[axis]
+    gw = sym_i["y_scan"].shape[2]
+    grid3 = P(None, None, axis)
+    grid4 = P(None, None, axis, None)
+    i_specs = dict(y_scan=grid4, mpm=grid3, mode_bit=grid3,
+                   cb_scan=grid4, cr_scan=grid4)
+    p_specs = dict(
+        y_scan=P(None, None, None, axis, None),
+        mv_diff=P(None, None, None, axis, None),
+        cb_scan=P(None, None, None, axis, None),
+        cr_scan=P(None, None, None, axis, None),
+    )
+    plane = P(None, None, axis)
+    plane_p = P(None, None, None, axis)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(i_specs, p_specs),
+        out_specs=(dict(y=plane, cb=plane, cr=plane),
+                   dict(y=plane_p, cb=plane_p, cr=plane_p)),
+    )
+    def run(si, sp):
+        first = decode_intra_frame_tiled(si, qdc, qac, gw, ntiles, axis=axis, dtype=dtype)
+
+        def step(carry, xs):
+            out = decode_inter_frame_tiled(
+                xs, carry["y"], carry["cb"], carry["cr"], qdc, qac, gw, ntiles,
+                axis=axis, dtype=dtype,
+            )
+            return out, out
+
+        xs = {k: jnp.moveaxis(sp[k], 1, 0) for k in sp}
+        _, rest = jax.lax.scan(step, first, xs)
+        return first, rest
+
+    first, rest = run(
+        {k: jnp.asarray(sym_i[k]) for k in i_specs},
+        {k: jnp.asarray(sym_p[k]) for k in p_specs},
+    )
+    rest = {k: jnp.moveaxis(v, 0, 1) for k, v in rest.items()}
+    return first, rest
