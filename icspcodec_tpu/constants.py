@@ -62,18 +62,16 @@ def spiral_offsets(nsearch: int = 64) -> np.ndarray:
     Sequence: (0,0),(0,0),(1,0),(1,-1),(-1,-1),... x in [-15,16], y in
     [-16,15].
 
-    KNOWN DIVERGENCE (content-dependent): the return-to-initial-state
-    property only holds for break-free 64-step runs.  The reference's
-    SAD==0 early break (enc src:2136-2141) can exit mid-run — a perfectly
-    static MB breaks at spiral step 1 with xflag/yflag mirrored, so in the
-    C++ every *subsequent* MB of that frame walks a mirrored spiral.  This
-    fixed table does not model that carry-over; on content with zero-SAD
-    MBs (exact static repeats) the chosen MV can differ from the C++ (both
-    choices have SAD 0 at the break, so recon quality is unaffected, but
-    bitstreams would not be byte-identical).  The pinned golden content
-    never triggers the break (verified: golden tests are byte-exact);
-    tests/test_ops.py::test_spiral_zero_sad_break_divergence documents the
-    triggering content class.
+    CAVEAT (handled): the return-to-initial-state property only holds for
+    break-free 64-step runs.  The reference's SAD==0 early break (enc
+    src:2136-2141) can exit mid-run — a perfectly static MB breaks at
+    spiral step 1 with xflag/yflag mirrored, so in the C++ every
+    *subsequent* MB of that frame walks a mirrored spiral.  This table is
+    therefore only the CANONICAL walk; the full stateful model lives in
+    SPIRAL_STATES / SPIRAL_UNION / SPIRAL_STATE_IDX / SPIRAL_TRANS below,
+    is the production ME path (ops/me.py spiral_search hybrid), and is
+    pinned byte-exact against the compiled C++ binary on zero-SAD trigger
+    content (tests/test_codec_vs_golden.py synthStatic configs).
     """
     out = np.zeros((nsearch, 2), dtype=np.int32)
     x0 = y0 = 0
@@ -95,6 +93,90 @@ def spiral_offsets(nsearch: int = 64) -> np.ndarray:
 
 
 SPIRAL = spiral_offsets()
+
+
+# ---------------------------------------------------------------------------
+# Stateful spiral tables: exact model of the flag/xflag/yflag carry-over.
+#
+# The reference's (flag, xflag, yflag) persist across MBs within one
+# motionEstimation call (enc src:2094-2109) and the SAD==0 early break
+# (enc src:2136-2141) exits mid-run, so the state entering the NEXT MB can
+# be mirrored.  The state space closure from the initial (0, 1, -1) under
+# "advance t in 2..64 steps" has exactly four members; each defines a fixed
+# 64-offset walk (an axis-swap/sign-mirror of the canonical spiral).  The
+# union of the four walks is 129 distinct offsets spanning [-16,16]^2.
+# ---------------------------------------------------------------------------
+
+
+def _spiral_walk(state, nsteps: int = 64):
+    """Offsets visited by the reference walk starting from `state`."""
+    f, xf, yf = state
+    x0 = y0 = xcnt = ycnt = 0
+    offs = []
+    for _ in range(nsteps):
+        if not f:
+            x0 += xcnt if xf <= 0 else -xcnt
+            f = 1
+            xcnt += 1
+            xf = -xf
+        else:
+            y0 += ycnt if yf < 0 else -ycnt
+            f = 0
+            ycnt += 1
+            yf = -yf
+        offs.append((x0, y0))
+    return offs
+
+
+def _advance_state(state, nsteps: int):
+    """State after taking `nsteps` steps (offsets irrelevant)."""
+    f, xf, yf = state
+    for _ in range(nsteps):
+        if not f:
+            f, xf = 1, -xf
+        else:
+            f, yf = 0, -yf
+    return (f, xf, yf)
+
+
+def _spiral_state_tables():
+    # reachable closure from the initial state; id 0 = canonical
+    states = [(0, 1, -1)]
+    frontier = [states[0]]
+    while frontier:
+        s = frontier.pop()
+        for t in range(2, 65):  # break at cnt>=1 -> 2..63 steps; 64 = full run
+            ns = _advance_state(s, t)
+            if ns not in states:
+                states.append(ns)
+                frontier.append(ns)
+    states.sort(key=lambda s: (s != (0, 1, -1), s))  # canonical first
+    walks = [_spiral_walk(s) for s in states]
+
+    union: list[tuple[int, int]] = []
+    seen: dict[tuple[int, int], int] = {}
+    # canonical offsets first so SPIRAL_TO_UNION is a plain prefix map
+    for w in walks:
+        for o in w:
+            if o not in seen:
+                seen[o] = len(union)
+                union.append(o)
+    union_arr = np.asarray(union, dtype=np.int32)
+    state_idx = np.asarray(
+        [[seen[o] for o in w] for w in walks], dtype=np.int32
+    )  # (4, 64): union row of step k from state s
+    trans = np.zeros((len(states), 65), dtype=np.int32)
+    for si, s in enumerate(states):
+        for t in range(65):
+            trans[si, t] = states.index(_advance_state(s, t))
+    return tuple(states), union_arr, state_idx, trans
+
+
+SPIRAL_STATES, SPIRAL_UNION, SPIRAL_STATE_IDX, SPIRAL_TRANS = _spiral_state_tables()
+# canonical walk == SPIRAL; its offsets are the first rows of the union
+assert np.array_equal(SPIRAL_UNION[SPIRAL_STATE_IDX[0]], SPIRAL)
+N_SPIRAL_STATES = len(SPIRAL_STATES)           # 4
+N_SPIRAL_UNION = SPIRAL_UNION.shape[0]         # 129
 
 # VLC category boundaries: value magnitude -> total code length in bits
 # (DCentropy, enc src:5417-5602; identical tables for AC and MV).

@@ -69,22 +69,52 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
     """
     h, w = cur_y.shape[-2], cur_y.shape[-1]
     gh, gw = h // 8, w // 8
+    f = cur_cb.shape[0]
     pad = pad_image(prev_y, 16)
+    prevs = jnp.concatenate([prev_cb, prev_cr])
+    padc = pad_image(prevs, 8)
     if me == "xla":
-        mv = spiral_search(cur_y, pad)
+        mv = spiral_search(cur_y, pad)  # stateful-exact hybrid (ops/me.py)
         predb = gather_pred(pad.astype(jnp.int32), mv, 16)
         # frame-layout predictor: elementwise ops commute with the
         # block<->plane transposes, so downstream math is layout-agnostic
         predf = from_blocks(mb_to_grid8(predb))
-        cidx = None
+        mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
+        predcf = from_blocks(gather_pred(padc.astype(jnp.int32), jnp.concatenate([mvc, mvc]), 8))
     else:
         from ..ops import pallas_me as pme
+        from ..ops.me import stateful_select
 
         interp = me == "pallas_interpret"
-        best = pme.sad_best(cur_y, pad, interpret=interp)
-        mv = jnp.take(pme.NEG_SPIRAL, best, axis=0)
-        predf = pme.mc_select_luma(pad, best, interpret=interp)
-        cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best, axis=0)
+        best64, zc = pme.sad_best(cur_y, pad, interpret=interp)
+        # zc >= 2 <=> this MB hits the SAD==0 early break and mirrors the
+        # walk state for every subsequent MB (enc src:2136-2141): only
+        # then pay for the union SAD sweep + stateful composition
+        any_break = (zc >= 2).any()
+
+        def fixed_branch(_):
+            mv = jnp.take(pme.NEG_SPIRAL, best64, axis=0)
+            predf = pme.mc_select_luma(pad, best64, interpret=interp)
+            cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best64, axis=0)
+            predcf = pme.mc_select_chroma(
+                padc, jnp.concatenate([cidx, cidx]), interpret=interp
+            )
+            return mv, predf, predcf
+
+        def stateful_branch(_):
+            sads_u = pme.sad_union(cur_y, pad, interpret=interp)
+            best_u = stateful_select(sads_u)
+            mv = jnp.take(jnp.asarray(pme.NEG_UNION), best_u, axis=0)
+            predf = pme.mc_select_luma_union(pad, best_u, interpret=interp)
+            cidx = jnp.take(jnp.asarray(pme.UNION_TO_CHROMA_U), best_u, axis=0)
+            predcf = pme.mc_select_chroma_union(
+                padc, jnp.concatenate([cidx, cidx]), interpret=interp
+            )
+            return mv, predf, predcf
+
+        mv, predf, predcf = jax.lax.cond(
+            any_break, stateful_branch, fixed_branch, None
+        )
     resid8 = to_blocks(cur_y.astype(jnp.int32) - predf)
 
     d = fdct(resid8, table=table, dtype=dtype)
@@ -110,20 +140,8 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
 
     # chroma: mv/2 with C division (CmotionCompensation enc src:2538);
     # Cb and Cr stacked into one batch so the DC scan runs once
-    f = cur_cb.shape[0]
+    # (predcf computed above alongside the luma predictor)
     planes = jnp.concatenate([cur_cb, cur_cr])
-    prevs = jnp.concatenate([prev_cb, prev_cr])
-    padc = pad_image(prevs, 8)
-    if me == "xla":
-        mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
-        mvc2 = jnp.concatenate([mvc, mvc])
-        predcf = from_blocks(gather_pred(padc.astype(jnp.int32), mvc2, 8))
-    else:
-        from ..ops import pallas_me as pme
-
-        predcf = pme.mc_select_chroma(
-            padc, jnp.concatenate([cidx, cidx]), interpret=(me == "pallas_interpret")
-        )
     err = to_blocks(planes).astype(jnp.int32) - to_blocks(predcf)
     c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype)
     # recon = clamp((int)(pad_pixel + idct)): double sum, trunc to zero
@@ -218,7 +236,12 @@ def mv_reconstruct_scan(mv_diff: jnp.ndarray):
         gy_s = jnp.where(v, gy, mbh)
         return mv.at[:, gy_s, gx].set(new, mode="drop"), None
 
-    init = jnp.zeros((fdim, mbh, mbw, 2), jnp.int32)
+    # derive the zero carry from the input so it inherits the input's
+    # varying-manual-axes type under shard_map (a plain jnp.zeros would be
+    # replicated and trip the scan carry vma check when called from
+    # parallel.tiles.decode_inter_frame_tiled) — wavefront._dc_chain_scan
+    # uses the same pattern
+    init = (mv_diff * 0).astype(jnp.int32)
     mv, _ = jax.lax.scan(body, init, (jnp.asarray(gys), jnp.asarray(gxs), jnp.asarray(valid)))
     return mv
 
@@ -231,6 +254,7 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     (best_from_mv) and reuses the masked-selection pallas kernels."""
     gh, gw = sym["y_scan"].shape[1:3]
     h, w = gh * 8, gw * 8
+    f = prev_cb.shape[0]
     mv = mv_reconstruct_scan(sym["mv_diff"])
     q = izigzag(sym["y_scan"])
     iq = dequant_block(q, qdc, qac)
@@ -238,34 +262,51 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     iq = iq.at[..., 0, 0].set(dq_dc)
     inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
     pad = pad_image(prev_y, 16)
+    padc = pad_image(jnp.concatenate([prev_cb, prev_cr]), 8)
     if me == "xla":
         predf = from_blocks(mb_to_grid8(gather_pred(pad.astype(jnp.int32), mv, 16)))
-        cidx = None
+        mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
+        predcf = from_blocks(
+            gather_pred(padc.astype(jnp.int32), jnp.concatenate([mvc, mvc]), 8)
+        )
     else:
         from ..ops import pallas_me as pme
 
         interp = me == "pallas_interpret"
-        best = pme.best_from_mv(mv)
-        predf = pme.mc_select_luma(pad, best, interpret=interp)
-        cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best, axis=0)
+        # a stateful-ME bitstream can carry any of the 129 union offsets;
+        # only pay for the 129-roll selects when a non-canonical MV occurs
+        best_u = pme.best_from_mv_union(mv)
+        any_noncanon = (best_u >= pme.N_CANON).any()
+
+        def canon_branch(_):
+            best = pme.best_from_mv(mv)
+            predf = pme.mc_select_luma(pad, best, interpret=interp)
+            cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best, axis=0)
+            predcf = pme.mc_select_chroma(
+                padc, jnp.concatenate([cidx, cidx]), interpret=interp
+            )
+            return predf, predcf
+
+        def union_branch(_):
+            predf = pme.mc_select_luma_union(pad, best_u, interpret=interp)
+            cidx = jnp.take(jnp.asarray(pme.UNION_TO_CHROMA_U), best_u, axis=0)
+            predcf = pme.mc_select_chroma_union(
+                padc, jnp.concatenate([cidx, cidx]), interpret=interp
+            )
+            return predf, predcf
+
+        predf, predcf = jax.lax.cond(any_noncanon, union_branch, canon_branch, None)
     recon_y = jnp.clip(predf + inv_f, 0, 255).astype(jnp.uint8)
 
-    mvc = jnp.sign(mv) * (jnp.abs(mv) // 2)
     out = dict(y=recon_y)
-    for name, prev_plane in (("cb", prev_cb), ("cr", prev_cr)):
+    for i, name in enumerate(("cb", "cr")):
         qc = izigzag(sym[f"{name}_scan"])
         iqc = dequant_block(qc, qdc, qac)
         ch, cw = qc.shape[1:3]
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
         iqc = iqc.at[..., 0, 0].set(dqc)
         rc = from_blocks(idct(iqc, table=table, dtype=dtype))
-        padc = pad_image(prev_plane, 8)
-        if me == "xla":
-            predcf = from_blocks(gather_pred(padc.astype(jnp.int32), mvc, 8))
-        else:
-            from ..ops import pallas_me as pme
-
-            predcf = pme.mc_select_chroma(padc, cidx, interpret=(me == "pallas_interpret"))
-        rec = jnp.clip(c_trunc(predcf.astype(dtype) + rc), 0, 255)
+        pred_pl = predcf[i * f:(i + 1) * f]
+        rec = jnp.clip(c_trunc(pred_pl.astype(dtype) + rc), 0, 255)
         out[name] = rec.astype(jnp.uint8)
     return out

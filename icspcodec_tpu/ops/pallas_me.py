@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import SPIRAL
+from ..constants import SPIRAL, SPIRAL_STATE_IDX, SPIRAL_UNION
 
 
 def _chroma_table():
@@ -54,6 +54,28 @@ def _chroma_table():
 
 CHROMA_OFFSETS, SPIRAL_TO_CHROMA = _chroma_table()
 NEG_SPIRAL = (-SPIRAL).astype(np.int32)
+N_CANON = int(SPIRAL_STATE_IDX[0].max()) + 1  # canonical-unique union prefix
+
+
+def _chroma_union_table():
+    """Chroma analog of the 129-offset spiral union (stateful ME): unique
+    mv/2 window offsets ordered by first appearance along the union rows,
+    so the canonical chroma offsets form a prefix (mirrors SPIRAL_UNION's
+    canonical-first layout)."""
+    c = np.sign(SPIRAL_UNION) * (np.abs(SPIRAL_UNION) // 2)
+    seen: dict = {}
+    uniq = []
+    inv = np.zeros(len(c), np.int32)
+    for i, o in enumerate(map(tuple, c)):
+        if o not in seen:
+            seen[o] = len(uniq)
+            uniq.append(o)
+        inv[i] = seen[o]
+    return np.asarray(uniq, np.int32), inv
+
+
+CHROMA_U_OFFSETS, UNION_TO_CHROMA_U = _chroma_union_table()
+NEG_UNION = (-SPIRAL_UNION).astype(np.int32)
 
 
 def _lane_extend(pad: jnp.ndarray) -> jnp.ndarray:
@@ -87,17 +109,21 @@ def _iota_eq(n: int, m: int, scale: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
     """cur: (G, H, W) uint8; pad: (G, H+32, W+32) uint8 (padded previous
-    reconstruction).  Returns best (G, mbh, mbw) int32: the spiral index
-    selected by the reference's rule.  mv = -SPIRAL[best]."""
+    reconstruction).  Returns (best, zc) (G, mbh, mbw) int32: the spiral
+    index selected by the reference's rule (mv = -SPIRAL[best]) and the
+    per-MB count of zero-SAD evaluations along the canonical walk — an MB
+    with zc >= 2 triggers the reference's early break (enc src:2136-2141),
+    i.e. the fixed-table result is only exact when (zc >= 2) is nowhere
+    true (engine.inter gates the stateful recompute on that)."""
     g, h, w = cur.shape
     pad = _lane_extend(pad)
     ph, pw = pad.shape[-2], pad.shape[-1]
     mbh, mbw = h // 16, w // 16
     shifts = _roll_shifts(np.asarray(SPIRAL), 16, ph, pw)
 
-    def kernel(sh_ref, cur_ref, pad_ref, best_ref):
+    def kernel(sh_ref, cur_ref, pad_ref, best_ref, zc_ref):
         cur_i = cur_ref[0].astype(jnp.int32)
         pad_i = pad_ref[0].astype(jnp.int32)
         rowsum = _iota_eq(mbh, h, 16)        # (mbh, H)
@@ -138,6 +164,63 @@ def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp
         # the SAD==0 early-break fires only once min is already 0: with
         # >=2 zero candidates the *second* zero wins
         best_ref[0] = jnp.where(zc >= 2, second, best)
+        zc_ref[0] = zc
+
+    mb_spec = pl.BlockSpec((1, mbh, mbw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(mb_spec, mb_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shifts), cur, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sad_union(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Dense SADs at every stateful-union offset: (G, N_UNION, mbh, mbw)
+    int32 in SPIRAL_UNION row order.  Feeds ops.me.stateful_select on the
+    content class where the canonical fixed-table walk breaks early (the
+    hybrid's slow branch).  Same roll + 0/1 block-sum matmul recipe as
+    sad_best."""
+    g, h, w = cur.shape
+    pad = _lane_extend(pad)
+    ph, pw = pad.shape[-2], pad.shape[-1]
+    mbh, mbw = h // 16, w // 16
+    shifts = _roll_shifts(np.asarray(SPIRAL_UNION), 16, ph, pw)
+    nu = len(shifts)
+
+    def kernel(sh_ref, cur_ref, pad_ref, out_ref):
+        cur_i = cur_ref[0].astype(jnp.int32)
+        pad_i = pad_ref[0].astype(jnp.int32)
+        rowsum = _iota_eq(mbh, h, 16)
+        colsum = _iota_eq(mbw, w, 16).T
+
+        def body(k, _):
+            win = pltpu.roll(
+                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
+            )[:h, :w]
+            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
+            # precision notes as in sad_best: first matmul exact at default
+            # (inputs <= 255), second needs HIGHEST (row sums up to 4080)
+            s = jnp.dot(
+                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
+                colsum,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+            out_ref[0, k] = s
+            return 0
+
+        jax.lax.fori_loop(0, nu, body, 0)
 
     return pl.pallas_call(
         kernel,
@@ -147,8 +230,10 @@ def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, mbh, mbw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (1, nu, mbh, mbw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, nu, mbh, mbw), jnp.int32),
         interpret=interpret,
     )(jnp.asarray(shifts), cur, pad)
 
@@ -213,6 +298,30 @@ def mc_select_chroma(pad: jnp.ndarray, cidx: jnp.ndarray, interpret: bool = Fals
     blocks).  cidx = SPIRAL_TO_CHROMA[best]."""
     offsets = tuple((int(ox), int(oy)) for ox, oy in np.asarray(CHROMA_OFFSETS))
     return _mc_select(pad, cidx, offsets, 8, 8, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mc_select_luma_union(pad: jnp.ndarray, best_u: jnp.ndarray, interpret: bool = False):
+    """Luma predictor frame from *union* offset indices (stateful ME's
+    slow branch: MVs can be any of the 129 state-machine offsets)."""
+    offsets = tuple((int(ox), int(oy)) for ox, oy in SPIRAL_UNION)
+    return _mc_select(pad, best_u, offsets, 16, 16, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mc_select_chroma_union(pad: jnp.ndarray, cidx_u: jnp.ndarray, interpret: bool = False):
+    """Chroma predictor frame from chroma-union offset indices
+    (cidx_u = UNION_TO_CHROMA_U[best_u])."""
+    offsets = tuple((int(ox), int(oy)) for ox, oy in CHROMA_U_OFFSETS)
+    return _mc_select(pad, cidx_u, offsets, 8, 8, interpret)
+
+
+def best_from_mv_union(mv: jnp.ndarray) -> jnp.ndarray:
+    """Map MVs to union-offset indices (decode side, stateful ME): every
+    bitstream MV is -SPIRAL_UNION[k] for some k; union rows are unique so
+    the match is exact.  Same precondition/caveat as best_from_mv."""
+    eq = (mv[..., None, 0] == NEG_UNION[:, 0]) & (mv[..., None, 1] == NEG_UNION[:, 1])
+    return jnp.argmax(eq, axis=-1).astype(jnp.int32)
 
 
 def best_from_mv(mv: jnp.ndarray) -> jnp.ndarray:

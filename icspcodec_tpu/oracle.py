@@ -588,27 +588,76 @@ def encode_intra_chroma(plane: np.ndarray, qdc: int, qac: int):
 # ---------------------------------------------------------------------------
 
 
+def _sad_dense(cur_y: np.ndarray, pad: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Dense SADs at `offsets` for every MB: (len(offsets), mbh, mbw)."""
+    h, w = cur_y.shape
+    mbh, mbw = h // 16, w // 16
+    cur = to_blocks16(cur_y).astype(np.int64)
+    sads = np.zeros((len(offsets), mbh, mbw), dtype=np.int64)
+    for i, (ox, oy) in enumerate(offsets):
+        win = pad[16 + oy: 16 + oy + h, 16 + ox: 16 + ox + w]
+        sads[i] = np.abs(cur - to_blocks16(win)).sum(axis=(2, 3))
+    return sads
+
+
+def _select_from_seq(seq: np.ndarray):
+    """Reference selection over a (64, mbh, mbw) SAD sequence: first strict
+    minimum (`min > SAD`, enc src:2128), overridden by the *second* zero-SAD
+    evaluation (the `else if (SAD==0)` break, enc src:2136-2141, fires only
+    once min is already 0).  Returns (best_step, steps_taken)."""
+    best = np.argmin(seq, axis=0)  # first occurrence of the minimum
+    zeros = seq == 0
+    nz = zeros.cumsum(axis=0)
+    is2 = zeros & (nz == 2)
+    two_plus = is2.any(axis=0)
+    second_zero = np.argmax(is2, axis=0)
+    best = np.where(two_plus, second_zero, best)
+    steps = np.where(two_plus, second_zero + 1, 64)
+    return best, steps
+
+
 def motion_estimation(cur_y: np.ndarray, prev_recon_y: np.ndarray) -> np.ndarray:
-    """Spiral full-pel search; returns mv (mbh, mbw, 2) with the reference
-    sign convention mv = origin - best (i.e. minus the spiral offset)."""
+    """Stateful spiral full-pel search; returns mv (mbh, mbw, 2) with the
+    reference sign convention mv = origin - best (minus the walk offset).
+
+    Models the full flag/xflag/yflag carry-over (motionEstimation enc
+    src:2073-2155): the walk state persists across MBs within the frame,
+    and a SAD==0 early break exits mid-run leaving the state mirrored, so
+    subsequent MBs walk one of the four state-machine spirals
+    (constants.SPIRAL_STATES).  Break-free frames reduce to the canonical
+    fixed-table search."""
+    from .constants import SPIRAL_STATE_IDX, SPIRAL_TRANS, SPIRAL_UNION
+
     h, w = cur_y.shape
     mbh, mbw = h // 16, w // 16
     pad = pad_image(prev_recon_y, 16).astype(np.int64)
-    cur = to_blocks16(cur_y).astype(np.int64)
-    sads = np.zeros((64, mbh, mbw), dtype=np.int64)
-    for i, (ox, oy) in enumerate(SPIRAL):
-        win = pad[16 + oy: 16 + oy + h, 16 + ox: 16 + ox + w]
-        sads[i] = np.abs(cur - to_blocks16(win)).sum(axis=(2, 3))
-    # selection: first strict minimum, except when >=2 zero-SAD candidates
-    # exist, where the loop breaks at the *second* zero (enc src:2131-2141)
-    best = np.argmin(sads, axis=0)  # first occurrence of min
-    zeros = sads == 0
-    nz = zeros.cumsum(axis=0)
-    two_plus = (zeros & (nz == 2)).any(axis=0)
-    second_zero = np.argmax(zeros & (nz == 2), axis=0)
-    best = np.where(two_plus, second_zero, best)
-    mv = -SPIRAL[best]  # (mbh, mbw, 2) as (x, y)
-    return mv.astype(np.int64)
+    ncanon = int(SPIRAL_STATE_IDX[0].max()) + 1  # canonical-unique prefix rows
+    sads_c = _sad_dense(cur_y, pad, SPIRAL_UNION[:ncanon])
+    seq0 = sads_c[SPIRAL_STATE_IDX[0]]           # canonical 64-step sequence
+    best0, steps0 = _select_from_seq(seq0)
+    if (steps0 == 64).all():
+        # no MB breaks early -> every MB walks the canonical spiral
+        mv = -SPIRAL_UNION[SPIRAL_STATE_IDX[0][best0]]
+        return mv.astype(np.int64)
+
+    sads = np.concatenate(
+        [sads_c, _sad_dense(cur_y, pad, SPIRAL_UNION[ncanon:])], axis=0
+    )
+    # per entry state: chosen step + steps taken, then propagate the state
+    # across the MB raster exactly like the C++ (nblck loop, enc src:2104)
+    nstates = SPIRAL_STATE_IDX.shape[0]
+    best_u = np.zeros((nstates, mbh, mbw), np.int64)
+    steps = np.zeros((nstates, mbh, mbw), np.int64)
+    for s in range(nstates):
+        b, t = _select_from_seq(sads[SPIRAL_STATE_IDX[s]])
+        best_u[s], steps[s] = SPIRAL_STATE_IDX[s][b], t
+    mv = np.zeros((mbh, mbw, 2), np.int64)
+    state = 0
+    for n in range(mbh * mbw):
+        by, bx = divmod(n, mbw)
+        mv[by, bx] = -SPIRAL_UNION[best_u[state, by, bx]]
+        state = int(SPIRAL_TRANS[state, steps[state, by, bx]])
+    return mv
 
 
 def gather_pred16(pad: np.ndarray, mv: np.ndarray, bs: int) -> np.ndarray:

@@ -356,10 +356,11 @@ def encode_inter_frame_tiled(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qd
     and replicating a 100-step scalar chain is cheaper than per-step
     boundary traffic.  Semantics identical to engine.inter.encode_inter_frame.
     """
+    from ..constants import SPIRAL_UNION
     from ..engine.inter import grid8_to_mb, mb_to_grid8
     from ..engine.intra import from_blocks, to_blocks, _acflag_from_scan
     from ..engine.wavefront import chroma_dc_kind, dc_dpcm_scan
-    from ..ops.me import gather_pred, mv_diff_field, spiral_search
+    from ..ops.me import compose_select, gather_pred, mv_diff_field, sad_dense, state_tables
     from ..ops.quant import ac_flag
 
     f, h, wl = cur_y.shape
@@ -367,12 +368,21 @@ def encode_inter_frame_tiled(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qd
     t_idx = jax.lax.axis_index(axis)
 
     pad = _pad_tiled(prev_y, 16, ntiles, axis)
-    mv_local = spiral_search(cur_y, pad)               # (F, mbh, mbw_l, 2)
-    # MV prediction needs left/upper-right MB columns across seams: the
-    # field is tiny (mbh x mbw ints) — all-gather and compute replicated
-    mv_full = jax.lax.all_gather(mv_local, axis, axis=2, tiled=True)
+    # stateful-exact ME: the flag/xflag/yflag walk state carries across
+    # the GLOBAL MB raster (crossing every tile seam 18x per CIF frame).
+    # SADs are tile-local (union offsets span +-16 px = exactly the halo);
+    # the per-state selection tables are tiny (F, 4, mbh, mbw_l) ints —
+    # all-gather them and run the log-depth raster composition replicated,
+    # the same recipe as the MV-prediction and DC chains below.
+    sads_u = sad_dense(cur_y, pad, SPIRAL_UNION)
+    best_t, steps_t = state_tables(sads_u)            # (F, S, mbh, mbw_l)
+    best_full = jax.lax.all_gather(best_t, axis, axis=3, tiled=True)
+    steps_full = jax.lax.all_gather(steps_t, axis, axis=3, tiled=True)
+    best_u_full = compose_select(best_full, steps_full)
+    mv_full = jnp.take(-np.asarray(SPIRAL_UNION), best_u_full, axis=0)
     mv_diff_full = mv_diff_field(mv_full)
     mbw_l = wl // 16
+    mv_local = jax.lax.dynamic_slice_in_dim(mv_full, t_idx * mbw_l, mbw_l, axis=2)
     mv_diff = jax.lax.dynamic_slice_in_dim(
         mv_diff_full, t_idx * mbw_l, mbw_l, axis=2
     )

@@ -3,8 +3,10 @@ import pathlib
 import subprocess
 import sys
 
-# Sharding tests need a multi-device mesh; tests run on a virtual 8-device
-# CPU platform unless ICSP_TEST_TPU=1 explicitly requests the real chip.
+# Sharding tests need a multi-device mesh; tests run on a virtual 11-device
+# CPU platform (11 = a non-trivial divisor of CIF's 22 MB columns, so the
+# tile_shards tests can run the maximum column split; gop tests use 8)
+# unless ICSP_TEST_TPU=1 explicitly requests the real chip.
 # NOTE: the axon TPU plugin overrides the JAX_PLATFORMS *env var*; only
 # jax.config.update reliably selects the CPU backend here.  x64 must also
 # be enabled via config for the exact (float64) conformance path — the
@@ -13,7 +15,7 @@ if os.environ.get("ICSP_TEST_TPU", "0") != "1":
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
+            flags + " --xla_force_host_platform_device_count=11"
         ).strip()
     import jax
 

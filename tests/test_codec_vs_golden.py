@@ -27,6 +27,13 @@ CONFIGS = [
     ("synthA", 16, 16, 0),
     ("synthB", 16, 16, 10),
     ("synthB", 1, 1, 10),
+    # akiyo-class static content: zero-SAD MBs fire the spiral-ME early
+    # break every P-frame -> pins the stateful flag-mirroring semantics
+    # (round-2 VERDICT missing #1) against the compiled C++ binary
+    ("synthStatic", 16, 16, 10),
+    ("synthStatic", 8, 8, 10),
+    ("synthStatic", 1, 1, 10),
+    ("synthStatic", 16, 16, 1),
 ]
 
 
@@ -36,7 +43,9 @@ def content():
     a = load_yuv420(raw, W, H, NF)
     raw = synth_sequence("synthB", NF).tobytes()
     b = load_yuv420(raw, W, H, NF)
-    return {"synthA": a, "synthB": b}
+    raw = synth_sequence("synthStatic", NF).tobytes()
+    s = load_yuv420(raw, W, H, NF)
+    return {"synthA": a, "synthB": b, "synthStatic": s}
 
 
 @pytest.mark.parametrize("seq,qdc,qac,period", CONFIGS)

@@ -29,6 +29,10 @@ CONFIGS = [
     ("synthA", 8, 16, 10),
     ("synthB", 16, 16, 1),
     ("synthB", 16, 16, 10),
+    # static saturated regions: every P-frame fires the spiral-ME zero-SAD
+    # break -> pins the stateful state machine against the C++ binary
+    ("synthStatic", 16, 16, 10),
+    ("synthStatic", 1, 1, 10),
 ]
 
 

@@ -29,7 +29,12 @@ def test_pallas_kernels_on_chip_match_xla():
     assert jax.default_backend() != "cpu"
     rng = np.random.default_rng(11)
     g, p, h, w = 3, 4, 288, 352
-    y = jnp.asarray(rng.integers(0, 256, (g, p, h, w), np.uint8))
+    yn = rng.integers(0, 256, (g, p, h, w), np.uint8)
+    # saturated static square: black reconstructs exactly (clip at 0), so
+    # P-frames hit zero-SAD MBs -> the stateful break branch (sad_union +
+    # mc_select_*_union kernels) compiles and runs on-chip too
+    yn[..., 32:96, 32:96] = 0
+    y = jnp.asarray(yn)
     cb = jnp.asarray(rng.integers(0, 256, (g, p, h // 2, w // 2), np.uint8))
     cr = jnp.asarray(rng.integers(0, 256, (g, p, h // 2, w // 2), np.uint8))
     a = jax.jit(lambda *t: encode_gop(*t, 16, 16, table=COS_ENC, dtype=jnp.float32, me="xla"))(y, cb, cr)

@@ -80,16 +80,16 @@ def xla_full(c, p, pc):
 
 # --- pallas path ---
 def p_sad(c, p, pc):
-    best = pme.sad_best(c, p)
+    best, _ = pme.sad_best(c, p)
     return best.sum()
 
 def p_sadmc(c, p, pc):
-    best = pme.sad_best(c, p)
+    best, _ = pme.sad_best(c, p)
     pred = pme.mc_select_luma(p, best)
     return pred.sum()
 
 def p_full(c, p, pc):
-    best = pme.sad_best(c, p)
+    best, _ = pme.sad_best(c, p)
     pred = pme.mc_select_luma(p, best)
     cidx = jnp.asarray(pme.SPIRAL_TO_CHROMA)[best]
     predc = pme.mc_select_chroma(pc, cidx)

@@ -29,7 +29,7 @@ DEC=$WORK/decoder
 
 # --- content ---
 NFRAMES=${NFRAMES:-32}
-SEQS="synthA synthB"
+SEQS="synthA synthB synthStatic"
 cd "$WORK"
 for s in $SEQS; do
   python3 "$REPO/tools/make_content.py" "$s" "$NFRAMES" "$WORK/${s}_cif.yuv"

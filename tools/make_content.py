@@ -23,8 +23,17 @@ def synth_sequence(name: str, nframes: int) -> np.ndarray:
     Output shape: (nframes * (W*H + 2*CW*CH),) uint8, frame-interleaved
     Y,Cb,Cr exactly as the reference's YCbCrLoad expects
     (encoder/ICSP_Codec_Encoder_source.cpp:247-283).
+
+    Names beginning with "synthStatic" produce the akiyo-class trigger
+    content for the spiral-ME state machine: large saturated static
+    regions (black reconstructs to exactly 0, white to exactly 255, at
+    any QP) plus a small moving object — P-frames then hit zero-SAD MBs,
+    firing the reference's early break (enc src:2136-2141) and mirroring
+    the walk state for the rest of each frame.
     """
     rng = np.random.default_rng(zlib.crc32(name.encode()))
+    if name.startswith("synthStatic"):
+        return _static_sequence(rng, nframes)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
     cyy, cxx = np.mgrid[0:CH, 0:CW].astype(np.float32)
 
@@ -73,6 +82,36 @@ def synth_sequence(name: str, nframes: int) -> np.ndarray:
             128 + 40 * np.cos(cyy / 31.0 + phase[0] - 0.03 * t), 0, 255
         ).astype(np.uint8)
         out += [yq.tobytes(), cb.tobytes(), cr.tobytes()]
+    return np.frombuffer(b"".join(out), dtype=np.uint8)
+
+
+def _static_sequence(rng, nframes: int) -> np.ndarray:
+    """Static textured background + saturated black/white rectangles + one
+    small moving disc.  No pan, no per-frame noise: everything except the
+    disc is identical across frames, so once the saturated regions
+    reconstruct exactly, every later P-frame sees dozens of zero-SAD MBs."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    cyy, cxx = np.mgrid[0:CH, 0:CW].astype(np.float32)
+    base = (
+        96
+        + 48 * np.sin(xx / 37.0)
+        + 32 * np.sin(yy / 23.0)
+        + rng.normal(0, 3.0, size=(H, W)).astype(np.float32)
+    )
+    base[64:160, 48:176] = 0      # saturated black rectangle
+    base[176:256, 208:320] = 255  # saturated white rectangle
+    cb0 = np.clip(128 + 40 * np.sin(cxx / 29.0), 0, 255).astype(np.uint8)
+    cr0 = np.clip(128 + 40 * np.cos(cyy / 31.0), 0, 255).astype(np.uint8)
+    out = []
+    for t in range(nframes):
+        y = base.copy()
+        px, py = (40 + 5 * t) % (W - 24), (30 + 3 * t) % (H - 24)
+        y[py:py + 24, px:px + 24] = 200.0
+        out += [
+            np.clip(y, 0, 255).astype(np.uint8).tobytes(),
+            cb0.tobytes(),
+            cr0.tobytes(),
+        ]
     return np.frombuffer(b"".join(out), dtype=np.uint8)
 
 
