@@ -42,6 +42,12 @@ def main(argv=None):
         help="devices on the spatial tile mesh axis (halo-exchange "
              "MB-column sharding); mutually exclusive with --gopShards",
     )
+    enc.add_argument(
+        "--entropy", choices=["auto", "device", "host"], default="auto",
+        help="where entropy coding + bit packing run: on the accelerator "
+             "(only packed frames cross the host link) or on the host; "
+             "bytes identical either way",
+    )
     enc.add_argument("-o", default=None, help="output bitstream path")
     enc.add_argument("--recon", default=None, help="write recon YUV here")
 
@@ -89,6 +95,7 @@ def main(argv=None):
             width=args.width, height=args.height, qp_dc=qdc, qp_ac=qac,
             intra_period=args.intraPeriod, precision=args.precision,
             gop_shards=args.gopShards, tile_shards=args.tileShards,
+            entropy=args.entropy,
         )
         y, cb, cr = load_yuv420(args.i, cfg.width, cfg.height, args.n)
         t0 = time.time()

@@ -108,19 +108,160 @@ def _encode_gop_jit(y, cb, cr, qdc, qac, exact, me="xla"):
     return encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
 
 
+# ---------------------------------------------------------------------------
+# device-entropy encode path (SURVEY section 7 M4): the engine output stays
+# on the device; frame items + bit packing run there too, and only packed
+# frames (~the bitstream size instead of ~150 MB of symbols) cross the link
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
+def _encode_intra_items_jit(y, cb, cr, qdc, qac, exact):
+    from .bitstream_device import frame_items_dev
+    from .engine.intra import _acflag_from_scan
+
+    dt = jnp.float64 if exact else jnp.float32
+    out = encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
+    sym = {k: out[k] for k in _INTRA_KEYS}
+    sym["y_acflag"] = _acflag_from_scan(out["y_scan"])
+    codes, lengths = frame_items_dev(sym, True)
+    return codes, lengths, (out["recon_y"], out["recon_cb"], out["recon_cr"])
+
+
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
+def _encode_gop_items_jit(y, cb, cr, qdc, qac, exact, me="xla"):
+    from .bitstream_device import frame_items_dev
+    from .engine.intra import _acflag_from_scan
+
+    dt = jnp.float64 if exact else jnp.float32
+    intra, inter = encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
+    isym = {k: intra[k] for k in _INTRA_KEYS}
+    isym["y_acflag"] = _acflag_from_scan(intra["y_scan"])
+    ci, li = frame_items_dev(isym, True)
+    psym = {
+        k: inter[k].reshape((-1,) + inter[k].shape[2:]) for k in _INTER_KEYS
+    }
+    psym["y_acflag"] = _acflag_from_scan(psym["y_scan"])
+    cp, lp = frame_items_dev(psym, False)
+    recons = (
+        (intra["recon_y"], intra["recon_cb"], intra["recon_cr"]),
+        (inter["recon_y"], inter["recon_cb"], inter["recon_cr"]),
+    )
+    return (ci, li), (cp, lp), recons
+
+
+def _pack_bucketed(codes, lengths, slab: int = 32):
+    """Pack (F, N) device items into per-frame byte rows.
+
+    Pulls only the per-frame bit counts to size a static byte bucket
+    (8 KB granularity keeps the jit cache warm across runs), then packs
+    `slab` frames per dispatch to bound the expand buffer."""
+    from .bitstream_device import pack_frames_dev
+
+    nb = np.asarray(jnp.sum(lengths, axis=1))
+    maxbytes = int(-(-int(nb.max()) // (8 * 8192)) * 8192)
+    f = codes.shape[0]
+    rows, bits = [], []
+    for s in range(0, f, slab):
+        p, n = pack_frames_dev(codes[s:s + slab], lengths[s:s + slab], maxbytes)
+        rows += list(np.asarray(p))
+        bits += [int(v) for v in np.asarray(n)]
+    return rows, bits
+
+
+def _encode_device_entropy(y, cb, cr, cfg: CodecConfig, return_recon: bool):
+    """encode() body for the device-entropy path (no mesh, any precision).
+    Returns (bits, recon-or-None); bytes identical to the host writer."""
+    from .bitstream_device import assemble_frames
+    from .oracle import pack_header
+
+    nf = y.shape[0]
+    eff = cfg.eff_period
+    exact = cfg.precision == "exact"
+    rows: list = [None] * nf
+    bits_per: list = [None] * nf
+    rec = (
+        dict(y=np.zeros_like(y), cb=np.zeros_like(cb), cr=np.zeros_like(cr))
+        if return_recon else None
+    )
+
+    def pull_recon(tree, idxs):
+        if rec is None:
+            return
+        ry, rcb, rcr = tree
+        rec["y"][idxs] = np.asarray(ry).reshape((-1,) + y.shape[1:])
+        rec["cb"][idxs] = np.asarray(rcb).reshape((-1,) + cb.shape[1:])
+        rec["cr"][idxs] = np.asarray(rcr).reshape((-1,) + cr.shape[1:])
+
+    with _device_for(exact):
+        if eff == 1:
+            ci, li, recon_t = _encode_intra_items_jit(
+                y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact
+            )
+            r, b = _pack_bucketed(ci, li)
+            for n in range(nf):
+                rows[n], bits_per[n] = r[n], b[n]
+            pull_recon(recon_t, np.arange(nf))
+        else:
+            nfull, rem = divmod(nf, eff)
+            batches = []
+            if nfull:
+                batches.append(np.arange(nfull * eff).reshape(nfull, eff))
+            if rem:
+                batches.append(np.arange(nfull * eff, nf).reshape(1, rem))
+            for idx in batches:
+                g, p = idx.shape
+                yb = y[idx.ravel()].reshape(g, p, *y.shape[1:])
+                cbb = cb[idx.ravel()].reshape(g, p, *cb.shape[1:])
+                crb = cr[idx.ravel()].reshape(g, p, *cr.shape[1:])
+                if p == 1:
+                    ci, li, recon_t = _encode_intra_items_jit(
+                        yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact
+                    )
+                    r, b = _pack_bucketed(ci, li)
+                    for j, n in enumerate(idx[:, 0]):
+                        rows[n], bits_per[n] = r[j], b[j]
+                    pull_recon(recon_t, idx[:, 0])
+                    continue
+                (ci, li), (cp, lp), recons = _encode_gop_items_jit(
+                    yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact)
+                )
+                ri, bi = _pack_bucketed(ci, li)
+                for j, n in enumerate(idx[:, 0]):
+                    rows[n], bits_per[n] = ri[j], bi[j]
+                rp, bp = _pack_bucketed(cp, lp)
+                for j, n in enumerate(idx[:, 1:].ravel()):
+                    rows[n], bits_per[n] = rp[j], bp[j]
+                pull_recon(recons[0], idx[:, 0])
+                pull_recon(recons[1], idx[:, 1:].ravel())
+
+    body = assemble_frames(rows, bits_per)
+    bits = pack_header(
+        cfg.height, cfg.width, cfg.qp_dc, cfg.qp_ac, cfg.intra_period
+    ) + body
+    return bits, rec
+
+
 def _np(tree):
     return jax.tree.map(np.asarray, tree)
 
 
-def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
+def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig,
+           return_recon: bool = True):
     """y: (F, H, W) uint8; cb/cr: (F, H/2, W/2).  Returns (bitstream bytes,
-    recon dict of (F, ...) uint8 planes).
+    recon dict of (F, ...) uint8 planes — or None with return_recon=False,
+    which skips the recon readback entirely).
 
     cfg.gop_shards > 1 runs the GOP batches SPMD over a `gop` device mesh
     (the --EnMultiThread analog, reference enc src:150-157 +
     ICSP_thread.cpp:39-77); the bitstream is byte-identical at any shard
     count because closed GOPs share no state and the host writer orders
     items by frame index, exactly like the reference's per-GOP job queue.
+
+    cfg.entropy selects where entropy coding runs: "device" (or "auto" on
+    the plain unsharded path) keeps symbols on the accelerator and pulls
+    only packed frames (bitstream_device.py); "host" pulls symbol arrays
+    and packs with the numpy/C writer.  Output bytes are identical.
     """
     nf = y.shape[0]
     eff = cfg.eff_period
@@ -131,6 +272,14 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
             "jax.config.update('jax_enable_x64', True) before encoding, "
             "or use precision='fast'"
         )
+    plain = cfg.gop_shards == 1 and cfg.tile_shards == 1
+    if cfg.entropy == "device" and not plain:
+        raise ValueError(
+            "entropy='device' requires the unsharded path "
+            "(gop_shards == tile_shards == 1); use entropy='auto'"
+        )
+    if plain and cfg.entropy != "host":
+        return _encode_device_entropy(y, cb, cr, cfg, return_recon)
     mesh = None
     if cfg.gop_shards > 1:
         from .parallel.gop import mesh_for
@@ -246,7 +395,7 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig):
         i_syms, i_idx, p_syms, p_idx, nf,
         cfg.height, cfg.width, cfg.qp_dc, cfg.qp_ac, cfg.intra_period,
     )
-    return bits, dict(y=rec_y, cb=rec_cb, cr=rec_cr)
+    return bits, (dict(y=rec_y, cb=rec_cb, cr=rec_cr) if return_recon else None)
 
 
 # ---------------------------------------------------------------------------

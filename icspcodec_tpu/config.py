@@ -23,8 +23,18 @@ class CodecConfig:
     #                            MB-column sharding with ppermute halo
     #                            exchange (parallel/tiles.py); must divide
     #                            width/16
+    entropy: str = "auto"      # "device": entropy-code + bit-pack on the
+    #                            accelerator, pull only packed frames
+    #                            (bitstream_device.py); "host": pull
+    #                            symbols, pack with the numpy/C writer;
+    #                            "auto": device for the plain fast path,
+    #                            host elsewhere.  Output bytes identical.
 
     def __post_init__(self):
+        if self.entropy not in ("auto", "device", "host"):
+            raise ValueError(
+                f"entropy must be auto|device|host, got {self.entropy!r}"
+            )
         if self.gop_shards < 1:
             raise ValueError(f"gop_shards must be >= 1, got {self.gop_shards}")
         if self.tile_shards < 1:

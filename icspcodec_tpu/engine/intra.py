@@ -19,7 +19,9 @@ from .wavefront import (
     dc_dpcm_scan,
     idc_dpcm_scan,
     intra_luma_decode_scan,
+    intra_luma_decode_scan_packed,
     intra_luma_scan,
+    intra_luma_scan_packed,
     luma_dc_kind,
 )
 
@@ -69,7 +71,10 @@ def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: i
     Returns dict of recon planes + all bitstream symbols.
     """
     orig = to_blocks(y).astype(jnp.int32)
-    lum = intra_luma_scan(orig, qdc, qac, table=table, dtype=dtype)
+    # packed-diagonal wavefront: bit-identical to intra_luma_scan, reads
+    # only constant-shifted boundary rows per step instead of gathering
+    # the full block grid (throughput; see wavefront.py)
+    lum = intra_luma_scan_packed(orig, qdc, qac, table=table, dtype=dtype)
     # symbols travel device->host: narrow dtypes halve the transfer
     out = dict(
         recon_y=from_blocks(lum["recon"]).astype(jnp.uint8),
@@ -112,7 +117,7 @@ def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table
     dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
     iq = iq.at[..., 0, 0].set(dq_dc)
     r = idct(iq, table=table, dtype=dtype)
-    recon = intra_luma_decode_scan(r, mpm, mode_bit, dtype=dtype)
+    recon = intra_luma_decode_scan_packed(r, mpm, mode_bit, dtype=dtype)
     out = dict(y=from_blocks(recon).astype(jnp.uint8))
     for name, scan in (("cb", cb_scan), ("cr", cr_scan)):
         qc = izigzag(scan)

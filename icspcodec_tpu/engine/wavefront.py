@@ -177,9 +177,42 @@ def _unpack_diag(rows: jnp.ndarray, gh: int, gw: int):
 
 
 def _lane_take(row: jnp.ndarray, shift, nmax: int):
-    """row: (F, nmax); returns row shifted so out[.., lane] = row[.., lane+shift]."""
+    """row: (F, nmax, ...); out[:, lane, ...] = row[:, lane+shift, ...]."""
     idx = jnp.clip(jnp.arange(nmax) + shift, 0, nmax - 1)
     return row[:, idx]
+
+
+def _pack_diag_nd(x: jnp.ndarray, gh: int, gw: int):
+    """(F, gh, gw, *rest) -> (nsteps, F, nmax, *rest), OOB lanes zero."""
+    nsteps, nmax, pack_idx, _, _, _ = diag_layout(gh, gw)
+    rest = x.shape[3:]
+    flat = x.reshape((x.shape[0], gh * gw) + rest)
+    padded = jnp.concatenate(
+        [flat, jnp.zeros((x.shape[0], 1) + rest, flat.dtype)], axis=1
+    )
+    out = padded[:, pack_idx]                     # (F, nsteps, nmax, *rest)
+    return jnp.moveaxis(out, 0, 1)
+
+
+def _unpack_diag_nd(rows: jnp.ndarray, gh: int, gw: int):
+    """(nsteps, F, nmax, *rest) -> (F, gh, gw, *rest)."""
+    _, _, _, cell_step, cell_lane, _ = diag_layout(gh, gw)
+    out = rows[cell_step, :, cell_lane]           # (gh, gw, F, *rest)
+    return jnp.moveaxis(out, 2, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _intra_lane_tables(gh: int, gw: int):
+    """Per-(step, lane) cell metadata for the packed intra wavefront:
+    valid, has_up, has_left (bool) and the luma DC kind, all (nsteps, nmax)."""
+    nsteps, nmax, pack_idx, _, _, _ = diag_layout(gh, gw)
+    valid = pack_idx != gh * gw
+    gy = np.where(valid, pack_idx // gw, 0)
+    gx = np.where(valid, pack_idx % gw, 0)
+    has_up = valid & (gy > 0)
+    has_left = valid & (gx > 0)
+    kind = luma_dc_kind(gh, gw)[gy, gx]
+    return valid, has_up, has_left, kind.astype(np.int32)
 
 
 def _dc_chain_scan(vals, kind, gh, gw, step_fn, out_dtypes):
@@ -385,8 +418,208 @@ def intra_luma_scan(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=
 
 
 # ---------------------------------------------------------------------------
+# packed-diagonal intra luma wavefront: the throughput formulation.
+#
+# intra_luma_scan above scatters/gathers the full (F, gh, gw, 8, 8) grid
+# every step — correct but latency-bound (114 dynamic gathers + scatters
+# of ~120 MB carries for CIF).  This variant applies the DC chains'
+# packed-diagonal recipe to the WHOLE wavefront: inputs are pre-packed to
+# (nsteps, F, nmax, ...) rows, each step reads only constant-shifted
+# lanes of the previous three steps' boundary state (right pixel column,
+# bottom pixel row, mode, dequantized DC — a few hundred KB), and all
+# grid-shaped outputs are emitted as scan ys and unpacked once at the
+# end.  Math is identical expression-for-expression to intra_luma_scan
+# (bit-exactness pinned by tests/test_engine equality + goldens).
+# ---------------------------------------------------------------------------
+
+
+def intra_luma_scan_packed(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+    """Packed-diagonal intra luma encoder; same contract as
+    intra_luma_scan: orig (F, gh, gw, 8, 8) int32 -> dict(recon, scan,
+    mpm, mode_bit) on the (F, gh, gw, ...) grid."""
+    fdim, gh, gw = orig.shape[:3]
+    nsteps, nmax, _, _, _, shifts = diag_layout(gh, gw)
+    valid, has_up_t, has_left_t, kind_t = _intra_lane_tables(gh, gw)
+    ct = np.asarray(table, dtype=dtype)
+
+    orows = _pack_diag_nd(orig, gh, gw)           # (nsteps, F, nmax, 8, 8)
+    xs = (
+        orows,
+        jnp.asarray(kind_t),
+        jnp.asarray(shifts),
+        jnp.asarray(has_up_t),
+        jnp.asarray(has_left_t),
+    )
+
+    def body(carry, step):
+        h1, h2, h3 = carry  # boundary rows of steps d-1, d-2, d-3
+        cur, krow, sh, hu, hl = step
+        has_up = hu[None, :]
+        has_left = hl[None, :]
+        first = ~has_up & ~has_left
+
+        l_rc, l_md, l_dq = (_lane_take(h1[i], sh[0], nmax) for i in (0, 2, 3))
+        ur_dq = _lane_take(h1[3], sh[3], nmax)
+        u_br, u_md, u_dq = (_lane_take(h2[i], sh[1], nmax) for i in (1, 2, 3))
+        ul_md = _lane_take(h3[2], sh[2], nmax)
+        ul_dq = _lane_take(h3[3], sh[2], nmax)
+
+        up_row = u_br                               # (F, nmax, 8)
+        left_col = l_rc
+
+        # --- candidate residuals and SAEs (identical to intra_luma_scan) ---
+        e0 = cur - up_row[..., None, :]
+        e1 = cur - left_col[..., :, None]
+        lsum = jnp.where(has_left, left_col.sum(-1), 1024)
+        usum = jnp.where(has_up, up_row.sum(-1), 1024)
+        d16 = 16 * cur - (lsum + usum)[..., None, None]
+        e2 = jnp.sign(d16) * (jnp.abs(d16) // 16)
+        sae0 = jnp.abs(e0).sum((-2, -1))
+        sae1 = jnp.abs(e1).sum((-2, -1))
+        sae2 = jnp.abs(e2).sum((-2, -1))
+        mode_both = jnp.where(
+            (sae0 <= sae1) & (sae0 <= sae2), 0, jnp.where(sae1 <= sae2, 1, 2)
+        )
+        mode = jnp.where(
+            first,
+            2,
+            jnp.where(
+                has_up & has_left,
+                mode_both,
+                jnp.where(
+                    has_left, jnp.where(sae2 > sae1, 1, 2), jnp.where(sae2 > sae0, 0, 2)
+                ),
+            ),
+        )
+        m = mode[..., None, None]
+        err = jnp.where(m == 0, e0, jnp.where(m == 1, e1, e2))
+
+        # --- MPM flag / remainder bit ---
+        pred_mode = jnp.where(
+            has_up & has_left, median3(l_md, ul_md, u_md), jnp.where(has_left, l_md, u_md)
+        )
+        flag = (mode == pred_mode) & ~first
+        bit = jnp.where(
+            flag | first, 0, jnp.where(pred_mode == 2, (mode == 1), (mode == 2))
+        ).astype(jnp.int32)
+
+        # --- transform chain ---
+        d = fdct(err, table=ct, dtype=dtype)
+        dc_pred = _dc_pred(krow[None, :], l_dq, ul_dq, u_dq, ur_dq)
+        # scatter-SET of the precomputed difference (anti-FMA; see
+        # intra_luma_scan)
+        d = d.at[..., 0, 0].set(d[..., 0, 0] - dc_pred.astype(dtype))
+        q = quant_block(d, qdc, qac, chroma=False)
+        sc = zigzag(q)
+        iq = dequant_block(q, qdc, qac)
+        iq = iq.at[..., 0, 0].add(dc_pred)
+        new_dq = iq[..., 0, 0]
+        r = idct(iq, table=ct, dtype=dtype)
+
+        # --- pixel reconstruction ---
+        pred0 = jnp.where(
+            has_up[..., None, None], up_row[..., None, :].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 8, 1), dtype)
+        pred1 = jnp.where(
+            has_left[..., None, None], left_col[..., :, None].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 1, 8), dtype)
+        pv = ((lsum + usum).astype(dtype) / dtype(16.0))[..., None, None]
+        predsel = jnp.where(m == 0, pred0, jnp.where(m == 1, pred1, pv))
+        rec = jnp.clip(c_trunc(r + predsel), 0, 255)
+
+        new = (
+            rec[..., :, 7].astype(jnp.int32),
+            rec[..., 7, :].astype(jnp.int32),
+            mode.astype(jnp.int32),
+            new_dq.astype(jnp.int32),
+        )
+        return (new, h1, h2), (
+            rec.astype(jnp.int32),
+            sc.astype(jnp.int32),
+            flag.astype(jnp.int32),
+            bit.astype(jnp.int32),
+        )
+
+    zrow8 = jnp.zeros((fdim, nmax, 8), jnp.int32)
+    zrow = jnp.zeros((fdim, nmax), jnp.int32)
+    hinit = (zrow8, zrow8, zrow, zrow)
+    _, (rec_rows, sc_rows, mpm_rows, bit_rows) = jax.lax.scan(
+        body, (hinit, hinit, hinit), xs
+    )
+    return dict(
+        recon=_unpack_diag_nd(rec_rows, gh, gw),
+        scan=_unpack_diag_nd(sc_rows, gh, gw),
+        mpm=_unpack_diag_nd(mpm_rows, gh, gw),
+        mode_bit=_unpack_diag_nd(bit_rows, gh, gw),
+    )
+
+
+# ---------------------------------------------------------------------------
 # intra luma decode wavefront (no mode search; modes from MPM bits)
 # ---------------------------------------------------------------------------
+
+
+def intra_luma_decode_scan_packed(r: jnp.ndarray, mpmf: jnp.ndarray, mbit: jnp.ndarray, dtype=jnp.float64):
+    """Packed-diagonal decode wavefront; same contract as
+    intra_luma_decode_scan (bit-identical, throughput formulation)."""
+    fdim, gh, gw = r.shape[:3]
+    nsteps, nmax, _, _, _, shifts = diag_layout(gh, gw)
+    _, has_up_t, has_left_t, _ = _intra_lane_tables(gh, gw)
+
+    xs = (
+        _pack_diag_nd(r, gh, gw),
+        _pack_diag(mpmf, gh, gw),
+        _pack_diag(mbit, gh, gw),
+        jnp.asarray(shifts),
+        jnp.asarray(has_up_t),
+        jnp.asarray(has_left_t),
+    )
+
+    def body(carry, step):
+        h1, h2, h3 = carry  # (right col, bottom row, mode) of d-1, d-2, d-3
+        rrow, fl, bt, sh, hu, hl = step
+        has_up = hu[None, :]
+        has_left = hl[None, :]
+        first = ~has_up & ~has_left
+
+        left_col = _lane_take(h1[0], sh[0], nmax)
+        l_md = _lane_take(h1[2], sh[0], nmax)
+        up_row = _lane_take(h2[1], sh[1], nmax)
+        u_md = _lane_take(h2[2], sh[1], nmax)
+        ul_md = _lane_take(h3[2], sh[2], nmax)
+
+        pred_mode = jnp.where(
+            has_up & has_left, median3(l_md, ul_md, u_md), jnp.where(has_left, l_md, u_md)
+        )
+        lo = jnp.where(pred_mode == 0, 1, 0)
+        hi = jnp.where(pred_mode == 2, 1, 2)
+        mode = jnp.where(first, 2, jnp.where(fl == 1, pred_mode, jnp.where(bt == 0, lo, hi)))
+
+        lsum = jnp.where(has_left, left_col.sum(-1), 1024)
+        usum = jnp.where(has_up, up_row.sum(-1), 1024)
+        m = mode[..., None, None]
+        pred0 = jnp.where(
+            has_up[..., None, None], up_row[..., None, :].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 8, 1), dtype)
+        pred1 = jnp.where(
+            has_left[..., None, None], left_col[..., :, None].astype(dtype), dtype(128.0)
+        ) * jnp.ones((1, 1, 1, 8), dtype)
+        pv = ((lsum + usum).astype(dtype) / dtype(16.0))[..., None, None]
+        predsel = jnp.where(m == 0, pred0, jnp.where(m == 1, pred1, pv))
+        rec = jnp.clip(c_trunc(rrow + predsel), 0, 255)
+
+        new = (
+            rec[..., :, 7].astype(jnp.int32),
+            rec[..., 7, :].astype(jnp.int32),
+            mode.astype(jnp.int32),
+        )
+        return (new, h1, h2), rec.astype(jnp.int32)
+
+    zrow8 = jnp.zeros((fdim, nmax, 8), jnp.int32)
+    zrow = jnp.zeros((fdim, nmax), jnp.int32)
+    hinit = (zrow8, zrow8, zrow)
+    _, rec_rows = jax.lax.scan(body, (hinit, hinit, hinit), xs)
+    return _unpack_diag_nd(rec_rows, gh, gw)
 
 
 def intra_luma_decode_scan(r: jnp.ndarray, mpmf: jnp.ndarray, mbit: jnp.ndarray, dtype=jnp.float64):

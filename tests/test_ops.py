@@ -441,3 +441,77 @@ def test_io_and_header_validation():
     bad[5:7] = (17).to_bytes(2, "little")  # height not MB-aligned
     with pytest.raises(ValueError, match="dimensions"):
         parse_header(bytes(bad))
+
+
+def test_device_entropy_pack_matches_host():
+    """entropy='device' (on-accelerator VLC items + expand-pack,
+    bitstream_device.py) must emit the identical bytes to the host
+    numpy/C writer, across periods and precisions, on stateful-trigger
+    content (SURVEY section 7 M4; VERDICT r2 missing #3)."""
+    from icspcodec_tpu.codec import encode
+    from icspcodec_tpu.config import CodecConfig
+    from icspcodec_tpu.io import load_yuv420
+    from tools.make_content import synth_sequence
+
+    nf = 7
+    raw = synth_sequence("synthStatic", nf).tobytes()
+    y, cb, cr = load_yuv420(raw, 352, 288, nf)
+    for period, prec in ((0, "fast"), (5, "fast"), (5, "exact")):
+        base = dict(qp_dc=16, qp_ac=16, intra_period=period, precision=prec)
+        bh, rh = encode(y, cb, cr, CodecConfig(**base, entropy="host"))
+        bd, rd = encode(y, cb, cr, CodecConfig(**base, entropy="device"))
+        assert bh == bd, (period, prec)
+        for k in rh:
+            assert np.array_equal(rh[k], rd[k]), (period, prec, k)
+    b2, r2 = encode(
+        y, cb, cr, CodecConfig(qp_dc=16, qp_ac=16, intra_period=5), return_recon=False
+    )
+    assert b2 == bh and r2 is None
+
+
+def test_device_vlc_matches_host_vlc():
+    """Elementwise device VLC == the host vlc_encode over the codec's
+    symbol domain (|v| <= ~3.1k: DC residual at QP 1; codes <= 24 bits,
+    within the device path's uint32), both signs, exp>=5 long codes."""
+    from icspcodec_tpu.bitstream_device import vlc_encode_dev
+
+    vals = np.concatenate(
+        [np.arange(-4100, 4100), rng.integers(-8192, 8192, size=512)]
+    )
+    hc, hl = bs.vlc_encode(vals)
+    dc, dl = jax.jit(vlc_encode_dev)(jnp.asarray(vals))
+    assert np.array_equal(np.asarray(dl), hl)
+    assert np.array_equal(np.asarray(dc).astype(np.uint64), hc)
+
+
+def test_intra_packed_scan_equals_grid_scan():
+    """The packed-diagonal intra wavefront (production) must be
+    bit-identical to the reference-shaped grid formulation, both
+    precisions, non-CIF shapes included."""
+    from icspcodec_tpu.engine.intra import to_blocks
+    from icspcodec_tpu.engine.wavefront import intra_luma_scan, intra_luma_scan_packed
+
+    r = np.random.default_rng(9)
+    for (h, w), dt in (((288, 352), jnp.float64), ((64, 64), jnp.float32),
+                       ((48, 176), jnp.float32)):
+        y = r.integers(0, 256, (2, h, w)).astype(np.uint8)
+        orig = to_blocks(jnp.asarray(y)).astype(jnp.int32)
+        a = jax.jit(lambda o: intra_luma_scan(o, 16, 16, dtype=dt))(orig)
+        b = jax.jit(lambda o: intra_luma_scan_packed(o, 16, 16, dtype=dt))(orig)
+        for k in ("recon", "scan", "mpm", "mode_bit"):
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), ((h, w), k)
+
+
+def test_intra_packed_decode_equals_grid_decode():
+    from icspcodec_tpu.engine.wavefront import (
+        intra_luma_decode_scan,
+        intra_luma_decode_scan_packed,
+    )
+
+    r = np.random.default_rng(10)
+    rr = r.uniform(-80, 300, (2, 36, 44, 8, 8))
+    mpm = r.integers(0, 2, (2, 36, 44)).astype(np.int32)
+    bit = r.integers(0, 2, (2, 36, 44)).astype(np.int32)
+    a = jax.jit(lambda x, f, b: intra_luma_decode_scan(x, f, b, dtype=jnp.float64))(rr, mpm, bit)
+    b = jax.jit(lambda x, f, b: intra_luma_decode_scan_packed(x, f, b, dtype=jnp.float64))(rr, mpm, bit)
+    assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""On-chip A/B of the intra wavefront formulations (grid vs packed) and
+the full intra frame encode.  Methodology: carry-serialized fori_loop of
+K calls inside one jit, report (t[K]-t[1])/(K-1) (CLAUDE.md: the tunnel
+has a ~24 ms round-trip floor; single-dispatch timings are garbage).
+
+Run ALONE on the chip (single-client TPU).
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from icspcodec_tpu.constants import COS_ENC
+    from icspcodec_tpu.engine.intra import encode_intra_frames, to_blocks
+    from icspcodec_tpu.engine.wavefront import intra_luma_scan, intra_luma_scan_packed
+    from icspcodec_tpu.io import load_yuv420
+    from tools.make_content import synth_sequence
+
+    NF, W, H = 300, 352, 288
+    raw = synth_sequence("benchA", NF).tobytes()
+    y, cb, cr = load_yuv420(raw, W, H, NF)
+    orig = to_blocks(jnp.asarray(y)).astype(jnp.int32)
+    yj, cbj, crj = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
+
+    def per_call(body, k=9):
+        @functools.partial(jax.jit, static_argnames="k")
+        def run(k):
+            def step(i, st):
+                acc, d = st
+                r = body(d)
+                return acc + r, (r % 2).astype(jnp.int32)
+            return jax.lax.fori_loop(0, k, step, (jnp.int32(0), jnp.int32(0)))[0]
+
+        def timed(kk):
+            np.asarray(run(k=kk))
+            t0 = time.time()
+            np.asarray(run(k=kk))
+            return time.time() - t0
+
+        t1, tk = timed(1), timed(k)
+        return max((tk - t1) / (k - 1), 1e-9)
+
+    def lum_grid(d):
+        out = intra_luma_scan(orig + d, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
+
+    def lum_packed(d):
+        out = intra_luma_scan_packed(orig + d, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
+
+    def full(d):
+        out = encode_intra_frames(yj + d.astype(jnp.uint8), cbj, crj, 16, 16,
+                                  table=COS_ENC, dtype=jnp.float32)
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
+
+    for name, fn in (("grid luma scan", lum_grid), ("packed luma scan", lum_packed),
+                     ("full intra encode (packed)", full)):
+        t = per_call(fn)
+        print(f"{name}: {t*1e3:.1f} ms / {NF} frames -> {NF/t:.0f} fps")
+
+
+if __name__ == "__main__":
+    main()
