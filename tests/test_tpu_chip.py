@@ -42,3 +42,35 @@ def test_pallas_kernels_on_chip_match_xla():
     for pa, pb in zip(a, b):
         for k in pa:
             assert np.array_equal(np.asarray(pa[k]), np.asarray(pb[k])), k
+
+
+def test_device_entropy_and_packed_intra_on_chip():
+    """Round-3 surfaces on the real chip: (a) the device entropy pack
+    emits bytes identical to the host writer, (b) the packed-diagonal
+    intra wavefront equals the grid formulation when compiled by
+    XLA:TPU (guards Mosaic/XLA lowering differences, as the r1 tests do
+    for the ME kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icspcodec_tpu.codec import encode
+    from icspcodec_tpu.config import CodecConfig
+    from icspcodec_tpu.engine.intra import to_blocks
+    from icspcodec_tpu.engine.wavefront import intra_luma_scan, intra_luma_scan_packed
+    from icspcodec_tpu.io import load_yuv420
+    from tools.make_content import synth_sequence
+
+    assert jax.default_backend() != "cpu"
+    nf = 12
+    raw = synth_sequence("synthStatic", nf).tobytes()
+    y, cb, cr = load_yuv420(raw, 352, 288, nf)
+    base = dict(qp_dc=16, qp_ac=16, intra_period=10, precision="fast")
+    bh, _ = encode(y, cb, cr, CodecConfig(**base, entropy="host"))
+    bd, _ = encode(y, cb, cr, CodecConfig(**base, entropy="device"))
+    assert bh == bd
+
+    orig = to_blocks(jnp.asarray(y[:2])).astype(jnp.int32)
+    a = jax.jit(lambda o: intra_luma_scan(o, 16, 16, dtype=jnp.float32))(orig)
+    b = jax.jit(lambda o: intra_luma_scan_packed(o, 16, 16, dtype=jnp.float32))(orig)
+    for k in ("recon", "scan", "mpm", "mode_bit"):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
