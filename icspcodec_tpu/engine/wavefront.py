@@ -433,10 +433,12 @@ def intra_luma_scan(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=
 # ---------------------------------------------------------------------------
 
 
-def intra_luma_scan_packed(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+def intra_luma_scan_packed(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, unroll: int = 1):
     """Packed-diagonal intra luma encoder; same contract as
     intra_luma_scan: orig (F, gh, gw, 8, 8) int32 -> dict(recon, scan,
-    mpm, mode_bit) on the (F, gh, gw, ...) grid."""
+    mpm, mode_bit) on the (F, gh, gw, ...) grid.  unroll: lax.scan body
+    unrolling (latency-bound scan; tune on chip via
+    tools/bench_intra_scan.py)."""
     fdim, gh, gw = orig.shape[:3]
     nsteps, nmax, _, _, _, shifts = diag_layout(gh, gw)
     valid, has_up_t, has_left_t, kind_t = _intra_lane_tables(gh, gw)
@@ -544,7 +546,7 @@ def intra_luma_scan_packed(orig: jnp.ndarray, qdc: int, qac: int, table=COS_ENC,
     zrow = jnp.zeros((fdim, nmax), jnp.int32)
     hinit = (zrow8, zrow8, zrow, zrow)
     _, (rec_rows, sc_rows, mpm_rows, bit_rows) = jax.lax.scan(
-        body, (hinit, hinit, hinit), xs
+        body, (hinit, hinit, hinit), xs, unroll=unroll
     )
     return dict(
         recon=_unpack_diag_nd(rec_rows, gh, gw),
