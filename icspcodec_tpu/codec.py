@@ -413,16 +413,25 @@ def _decode_intra_jit(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, exact):
 
 @functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
 def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me="xla"):
-    """sym_i: intra symbols (G, ...); sym_p: inter symbols (G, P-1, ...)."""
+    """sym_i: intra symbols (G, ...); sym_p: inter symbols (G, P-1, ...).
+
+    MV reconstruction + the union-MC gate are hoisted out of the frame
+    scan (engine.inter.decode_gop_mvs): one batched wavefront over all
+    G*(P-1) frames instead of P-1 sequential ones."""
+    from .engine.inter import decode_gop_mvs
+
     dt = jnp.float64 if exact else jnp.float32
     first = decode_intra_frames(
         sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
         sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, table=COS_DEC, dtype=dt,
     )
+    mv, any_nc = decode_gop_mvs(sym_p["mv_diff"], me=me)
+    sym_p = dict(sym_p, mv=mv)
 
     def step(carry, xs):
         out = decode_inter_frame(
-            xs, carry["y"], carry["cb"], carry["cr"], qdc, qac, table=COS_DEC, dtype=dt, me=me
+            xs, carry["y"], carry["cb"], carry["cr"], qdc, qac,
+            table=COS_DEC, dtype=dt, me=me, any_noncanon=any_nc,
         )
         return out, out
 

@@ -246,16 +246,42 @@ def mv_reconstruct_scan(mv_diff: jnp.ndarray):
     return mv
 
 
-def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dtype=jnp.float64, me: str = "xla"):
+def decode_gop_mvs(mv_diff: jnp.ndarray, me: str = "xla"):
+    """Reconstruct MVs for a whole (G, P-1, mbh, mbw, 2) symbol batch in
+    ONE wavefront scan (frames are independent given their mv_diff), and
+    compute the global union-vs-canonical MC branch predicate.
+
+    Returns (mv (G, P-1, mbh, mbw, 2) int32, any_noncanon scalar bool or
+    None for the XLA path, which needs no table gate)."""
+    g, pm1, mbh, mbw = mv_diff.shape[:4]
+    mv = mv_reconstruct_scan(
+        mv_diff.reshape(g * pm1, mbh, mbw, 2).astype(jnp.int32)
+    ).reshape(g, pm1, mbh, mbw, 2)
+    if me == "xla":
+        return mv, None
+    from ..ops import pallas_me as pme
+
+    return mv, (pme.best_from_mv_union(mv) >= pme.N_CANON).any()
+
+
+def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dtype=jnp.float64, me: str = "xla", any_noncanon=None):
     """Inverse inter pipeline for a batch of frames (symbols -> planes).
 
-    me: as in encode_inter_frame.  Every bitstream MV is one of the 64
-    spiral offsets, so the decode-side MC maps MVs back to spiral indices
-    (best_from_mv) and reuses the masked-selection pallas kernels."""
+    me: as in encode_inter_frame.  Every bitstream MV is one of the 129
+    stateful-union offsets (the canonical 64 unless the encoder's
+    zero-SAD break fired), so the decode-side MC maps MVs back to table
+    indices and reuses the masked-selection pallas kernels.
+
+    sym may carry a precomputed "mv" field (see decode_gop_mvs): MV
+    reconstruction depends only on the mv_diff symbols, so GOP decoders
+    hoist the per-frame 56-step wavefront out of their frame scan and
+    run ONE batched scan over all frames instead.  `any_noncanon`
+    likewise lets callers hoist the union-vs-canonical MC branch
+    predicate (a whole-batch reduction) out of the scan."""
     gh, gw = sym["y_scan"].shape[1:3]
     h, w = gh * 8, gw * 8
     f = prev_cb.shape[0]
-    mv = mv_reconstruct_scan(sym["mv_diff"])
+    mv = sym["mv"] if "mv" in sym else mv_reconstruct_scan(sym["mv_diff"])
     q = izigzag(sym["y_scan"])
     iq = dequant_block(q, qdc, qac)
     dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
@@ -276,7 +302,8 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
         # a stateful-ME bitstream can carry any of the 129 union offsets;
         # only pay for the 129-roll selects when a non-canonical MV occurs
         best_u = pme.best_from_mv_union(mv)
-        any_noncanon = (best_u >= pme.N_CANON).any()
+        if any_noncanon is None:
+            any_noncanon = (best_u >= pme.N_CANON).any()
 
         def canon_branch(_):
             best = pme.best_from_mv(mv)

@@ -151,16 +151,20 @@ def _sharded_decode_gop_fn(mesh: Mesh, qdc: int, qac: int, dtype, me: str):
     shard = NamedSharding(mesh, P("gop"))
 
     def run(sym_i, sym_p):
+        from ..engine.inter import decode_gop_mvs
+
         first = decode_intra_frames(
             sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
             sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac,
             table=COS_DEC, dtype=dtype,
         )
+        mv, any_nc = decode_gop_mvs(sym_p["mv_diff"], me=me)
+        sym_p = dict(sym_p, mv=mv)
 
         def step(carry, xs):
             out = decode_inter_frame(
                 xs, carry["y"], carry["cb"], carry["cr"], qdc, qac,
-                table=COS_DEC, dtype=dtype, me=me,
+                table=COS_DEC, dtype=dtype, me=me, any_noncanon=any_nc,
             )
             return out, out
 

@@ -831,10 +831,13 @@ def decode_inter_frame_tiled(sym_local: dict, prev_y, prev_cb, prev_cr, qdc: int
 
     table = COS_DEC if table is None else table
     t_idx = jax.lax.axis_index(axis)
-    mbw_l = sym_local["mv_diff"].shape[2]
-    mvd_full = jax.lax.all_gather(sym_local["mv_diff"].astype(jnp.int32), axis, axis=2, tiled=True)
-    mv_full = mv_reconstruct_scan(mvd_full)
-    mv = jax.lax.dynamic_slice_in_dim(mv_full, t_idx * mbw_l, mbw_l, axis=2)
+    if "mv" in sym_local:
+        mv = sym_local["mv"]  # precomputed by decode_gop_tiled's hoist
+    else:
+        mbw_l = sym_local["mv_diff"].shape[2]
+        mvd_full = jax.lax.all_gather(sym_local["mv_diff"].astype(jnp.int32), axis, axis=2, tiled=True)
+        mv_full = mv_reconstruct_scan(mvd_full)
+        mv = jax.lax.dynamic_slice_in_dim(mv_full, t_idx * mbw_l, mbw_l, axis=2)
 
     q = izigzag(sym_local["y_scan"])
     iq = dequant_block(q, qdc, qac)
@@ -906,7 +909,22 @@ def decode_gop_tiled(sym_i: dict, sym_p: dict, qdc: int, qac: int, mesh: Mesh, a
                    dict(y=plane_p, cb=plane_p, cr=plane_p)),
     )
     def run(si, sp):
+        from ..engine.inter import mv_reconstruct_scan
+
         first = decode_intra_frame_tiled(si, qdc, qac, gw, ntiles, axis=axis, dtype=dtype)
+        # hoist MV reconstruction out of the frame scan: all frames'
+        # wavefronts run as ONE batched scan on the gathered MB grid,
+        # then each tile keeps its local columns
+        t_idx = jax.lax.axis_index(axis)
+        g, pm1, mbh, mbw_l = sp["mv_diff"].shape[:4]
+        mvd_full = jax.lax.all_gather(
+            sp["mv_diff"].astype(jnp.int32), axis, axis=3, tiled=True
+        )
+        mv_full = mv_reconstruct_scan(
+            mvd_full.reshape(g * pm1, mbh, mbw_l * ntiles, 2)
+        ).reshape(g, pm1, mbh, mbw_l * ntiles, 2)
+        mv = jax.lax.dynamic_slice_in_dim(mv_full, t_idx * mbw_l, mbw_l, axis=3)
+        sp = dict(sp, mv=mv)
 
         def step(carry, xs):
             out = decode_inter_frame_tiled(

@@ -56,8 +56,9 @@ def main():
         out = intra_luma_scan(orig + d, 16, 16, table=COS_ENC, dtype=jnp.float32)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
 
-    def lum_packed(d):
-        out = intra_luma_scan_packed(orig + d, 16, 16, table=COS_ENC, dtype=jnp.float32)
+    def lum_packed(d, unroll=1):
+        out = intra_luma_scan_packed(orig + d, 16, 16, table=COS_ENC,
+                                     dtype=jnp.float32, unroll=unroll)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
 
     def full(d):
@@ -65,10 +66,38 @@ def main():
                                   table=COS_ENC, dtype=jnp.float32)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
 
-    for name, fn in (("grid luma scan", lum_grid), ("packed luma scan", lum_packed),
-                     ("full intra encode (packed)", full)):
+    # decode-side wavefronts
+    from icspcodec_tpu.engine.wavefront import (
+        intra_luma_decode_scan,
+        intra_luma_decode_scan_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    rr = jnp.asarray(rng.uniform(-80, 300, (NF, 36, 44, 8, 8)).astype(np.float32))
+    mpm = jnp.asarray(rng.integers(0, 2, (NF, 36, 44)).astype(np.int32))
+    bit = jnp.asarray(rng.integers(0, 2, (NF, 36, 44)).astype(np.int32))
+
+    def dec_grid(d):
+        out = intra_luma_decode_scan(rr + d.astype(jnp.float32), mpm, bit, dtype=jnp.float32)
+        return jnp.sum(out)
+
+    def dec_packed(d):
+        out = intra_luma_decode_scan_packed(rr + d.astype(jnp.float32), mpm, bit, dtype=jnp.float32)
+        return jnp.sum(out)
+
+    import functools as ft
+    probes = [
+        ("grid luma scan", lum_grid),
+        ("packed luma scan", lum_packed),
+        ("packed luma scan unroll=2", ft.partial(lum_packed, unroll=2)),
+        ("packed luma scan unroll=4", ft.partial(lum_packed, unroll=4)),
+        ("full intra encode (packed)", full),
+        ("grid decode scan", dec_grid),
+        ("packed decode scan", dec_packed),
+    ]
+    for name, fn in probes:
         t = per_call(fn)
-        print(f"{name}: {t*1e3:.1f} ms / {NF} frames -> {NF/t:.0f} fps")
+        print(f"{name}: {t*1e3:.1f} ms / {NF} frames -> {NF/t:.0f} fps", flush=True)
 
 
 if __name__ == "__main__":
