@@ -86,23 +86,27 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
         from ..ops.me import stateful_select
 
         interp = me == "pallas_interpret"
-        best64, zc = pme.sad_best(cur_y, pad, interpret=interp)
+        # fused ME + luma MC: one 64-roll pass yields the canonical
+        # selection, the winning predictor frame, AND the dense
+        # canonical SADs (so the stateful branch only sweeps the 66
+        # non-canonical union offsets)
+        best64, zc, sads_c, predf_fused = pme.sad_mc_best(cur_y, pad, interpret=interp)
         # zc >= 2 <=> this MB hits the SAD==0 early break and mirrors the
         # walk state for every subsequent MB (enc src:2136-2141): only
-        # then pay for the union SAD sweep + stateful composition
+        # then pay for the extra union sweep + stateful composition
         any_break = (zc >= 2).any()
 
         def fixed_branch(_):
             mv = jnp.take(pme.NEG_SPIRAL, best64, axis=0)
-            predf = pme.mc_select_luma(pad, best64, interpret=interp)
             cidx = jnp.take(jnp.asarray(pme.SPIRAL_TO_CHROMA), best64, axis=0)
             predcf = pme.mc_select_chroma(
                 padc, jnp.concatenate([cidx, cidx]), interpret=interp
             )
-            return mv, predf, predcf
+            return mv, predf_fused, predcf
 
         def stateful_branch(_):
-            sads_u = pme.sad_union(cur_y, pad, interpret=interp)
+            extra = pme.sad_union_extra(cur_y, pad, interpret=interp)
+            sads_u = jnp.concatenate([sads_c, extra], axis=-3)
             best_u = stateful_select(sads_u)
             mv = jnp.take(jnp.asarray(pme.NEG_UNION), best_u, axis=0)
             predf = pme.mc_select_luma_union(pad, best_u, interpret=interp)

@@ -185,6 +185,156 @@ def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
+    """Fused ME + luma MC: one 64-roll pass computing the canonical
+    selection AND the selected predictor frame.
+
+    Returns (best, zc, sads, pred): best/zc as in sad_best, sads the
+    dense canonical-unique SADs (G, N_CANON, mbh, mbw) in union-row
+    order (the stateful branch then only computes the 66 non-canonical
+    offsets via sad_union_extra), and pred (G, H, W) int32 — the
+    predictor at each MB's winning offset, maintained as a running
+    masked select inside the same pass: the update mask per offset is
+    `new strict min | second zero-SAD evaluation`, whose LAST firing is
+    exactly the reference's pick (a second zero fires at most once and
+    nothing can beat min==0 afterwards, so no later update overwrites
+    it).  Mask expansion (mbh,mbw)->(H,W) is two 0/1 matmuls — exact at
+    default MXU precision (every product is a single 0/1 term)."""
+    g, h, w = cur.shape
+    pad = _lane_extend(pad)
+    ph, pw = pad.shape[-2], pad.shape[-1]
+    mbh, mbw = h // 16, w // 16
+    shifts = _roll_shifts(np.asarray(SPIRAL), 16, ph, pw)
+    # canonical walk step -> canonical-unique union row (values < N_CANON)
+    step2row = SPIRAL_STATE_IDX[0].astype(np.int32)
+
+    def kernel(sh_ref, s2r_ref, cur_ref, pad_ref, best_ref, zc_ref, sads_ref, pred_ref):
+        cur_i = cur_ref[0].astype(jnp.int32)
+        pad_i = pad_ref[0].astype(jnp.int32)
+        rowsum = _iota_eq(mbh, h, 16)        # (mbh, H)
+        colsum = _iota_eq(mbw, w, 16).T      # (W, mbw)
+
+        def body(k, st):
+            curmin, best, zc, second, pred = st
+            win = pltpu.roll(
+                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
+            )[:h, :w]
+            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
+            s = jnp.dot(
+                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
+                colsum,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+            sads_ref[0, s2r_ref[k]] = s      # dup center overwrites row 0: same value
+            lt = s < curmin
+            z = s == 0
+            upd = lt | (z & (zc == 1))
+            # expand (mbh, mbw) 0/1 -> (H, W) 0/1: small matmul first
+            um = jnp.dot(
+                jnp.dot(rowsum.T, upd.astype(jnp.float32), preferred_element_type=jnp.float32),
+                colsum.T,
+                preferred_element_type=jnp.float32,
+            )
+            pred = jnp.where(um != 0, win, pred)
+            best = jnp.where(lt, k, best)
+            curmin = jnp.where(lt, s, curmin)
+            second = jnp.where(z & (zc == 1), k, second)
+            zc = zc + z.astype(jnp.int32)
+            return curmin, best, zc, second, pred
+
+        zeros = jnp.zeros((mbh, mbw), jnp.int32)
+        init = (
+            jnp.full((mbh, mbw), jnp.iinfo(jnp.int32).max, jnp.int32),
+            zeros, zeros, zeros, jnp.zeros((h, w), jnp.int32),
+        )
+        _, best, zc, second, pred = jax.lax.fori_loop(0, len(shifts), body, init)
+        best_ref[0] = jnp.where(zc >= 2, second, best)
+        zc_ref[0] = zc
+        pred_ref[0] = pred
+
+    mb_spec = pl.BlockSpec((1, mbh, mbw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            mb_spec,
+            mb_spec,
+            pl.BlockSpec((1, N_CANON, mbh, mbw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
+            jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
+            jax.ShapeDtypeStruct((g, N_CANON, mbh, mbw), jnp.int32),
+            jax.ShapeDtypeStruct((g, h, w), jnp.int32),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(shifts), jnp.asarray(step2row), cur, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sad_union_extra(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Dense SADs at the NON-canonical union offsets only:
+    (G, N_UNION - N_CANON, mbh, mbw) int32 in union-row order (rows
+    N_CANON..).  Concatenated after sad_mc_best's canonical rows this
+    yields the full union tensor at 66 extra rolls instead of 129."""
+    return _sad_dense_rolls(cur, pad, SPIRAL_UNION[N_CANON:], interpret)
+
+
+def _sad_dense_rolls(cur, pad, offsets, interpret):
+    g, h, w = cur.shape
+    pad = _lane_extend(pad)
+    ph, pw = pad.shape[-2], pad.shape[-1]
+    mbh, mbw = h // 16, w // 16
+    shifts = _roll_shifts(np.asarray(offsets), 16, ph, pw)
+    nu = len(shifts)
+
+    def kernel(sh_ref, cur_ref, pad_ref, out_ref):
+        cur_i = cur_ref[0].astype(jnp.int32)
+        pad_i = pad_ref[0].astype(jnp.int32)
+        rowsum = _iota_eq(mbh, h, 16)
+        colsum = _iota_eq(mbw, w, 16).T
+
+        def body(k, _):
+            win = pltpu.roll(
+                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
+            )[:h, :w]
+            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
+            s = jnp.dot(
+                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
+                colsum,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(jnp.int32)
+            out_ref[0, k] = s
+            return 0
+
+        jax.lax.fori_loop(0, nu, body, 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nu, mbh, mbw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, nu, mbh, mbw), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray(shifts), cur, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def sad_union(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Dense SADs at every stateful-union offset: (G, N_UNION, mbh, mbw)
     int32 in SPIRAL_UNION row order.  Feeds ops.me.stateful_select on the

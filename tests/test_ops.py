@@ -515,3 +515,32 @@ def test_intra_packed_decode_equals_grid_decode():
     a = jax.jit(lambda x, f, b: intra_luma_decode_scan(x, f, b, dtype=jnp.float64))(rr, mpm, bit)
     b = jax.jit(lambda x, f, b: intra_luma_decode_scan_packed(x, f, b, dtype=jnp.float64))(rr, mpm, bit)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_sad_mc_interpret_mode():
+    """sad_mc_best (fused ME + luma MC + dense canonical SADs) must match
+    sad_best + mc_select_luma + the oracle's dense SADs, on break-free
+    and trigger content; sad_union_extra completes the union rows."""
+    from icspcodec_tpu.constants import SPIRAL_UNION
+    from icspcodec_tpu.ops import pallas_me as pme
+
+    r = np.random.default_rng(4)
+    prev = r.integers(0, 256, (288, 352)).astype(np.uint8)
+    pad = oracle.pad_image(prev, 16)
+    cur1 = np.roll(np.roll(prev, 2, 0), -3, 1).astype(np.uint8)
+    cur1[100:130, 200:260] ^= 0x55
+    cur2 = cur1.copy()
+    cur2[16:48, 32:96] = prev[16:48, 32:96]  # zero-SAD trigger MBs
+    for cur in (cur1, cur2):
+        cj, pj = jnp.asarray(cur[None]), jnp.asarray(pad[None])
+        best, zc, sads_c, pred = pme.sad_mc_best(cj, pj, interpret=True)
+        b2, z2 = pme.sad_best(cj, pj, interpret=True)
+        assert np.array_equal(np.asarray(best), np.asarray(b2))
+        assert np.array_equal(np.asarray(zc), np.asarray(z2))
+        want = np.asarray(pme.mc_select_luma(pj, b2, interpret=True))
+        assert np.array_equal(np.asarray(pred), want)
+        sads_o = oracle._sad_dense(cur, pad.astype(np.int64), SPIRAL_UNION[:pme.N_CANON])
+        assert np.array_equal(np.asarray(sads_c)[0], sads_o)
+        extra = pme.sad_union_extra(cj, pj, interpret=True)
+        sads_e = oracle._sad_dense(cur, pad.astype(np.int64), SPIRAL_UNION[pme.N_CANON:])
+        assert np.array_equal(np.asarray(extra)[0], sads_e)
