@@ -192,7 +192,7 @@ def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
     Returns (best, zc, sads, pred): best/zc as in sad_best, sads the
     dense canonical-unique SADs (G, N_CANON, mbh, mbw) in union-row
     order (the stateful branch then only computes the 66 non-canonical
-    offsets via sad_union_extra), and pred (G, H, W) int32 — the
+    offsets via sad_union_extra), and pred (G, H, W) uint8 — the
     predictor at each MB's winning offset, maintained as a running
     masked select inside the same pass: the update mask per offset is
     `new strict min | second zero-SAD evaluation`, whose LAST firing is
@@ -251,7 +251,7 @@ def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
         _, best, zc, second, pred = jax.lax.fori_loop(0, len(shifts), body, init)
         best_ref[0] = jnp.where(zc >= 2, second, best)
         zc_ref[0] = zc
-        pred_ref[0] = pred
+        pred_ref[0] = pred.astype(jnp.uint8)  # pixels: narrow VMEM/HBM
 
     mb_spec = pl.BlockSpec((1, mbh, mbw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -273,7 +273,7 @@ def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
             jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
             jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
             jax.ShapeDtypeStruct((g, N_CANON, mbh, mbw), jnp.int32),
-            jax.ShapeDtypeStruct((g, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((g, h, w), jnp.uint8),
         ),
         interpret=interpret,
     )(jnp.asarray(shifts), jnp.asarray(step2row), cur, pad)
@@ -338,59 +338,18 @@ def _sad_dense_rolls(cur, pad, offsets, interpret):
 def sad_union(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """Dense SADs at every stateful-union offset: (G, N_UNION, mbh, mbw)
     int32 in SPIRAL_UNION row order.  Feeds ops.me.stateful_select on the
-    content class where the canonical fixed-table walk breaks early (the
-    hybrid's slow branch).  Same roll + 0/1 block-sum matmul recipe as
-    sad_best."""
-    g, h, w = cur.shape
-    pad = _lane_extend(pad)
-    ph, pw = pad.shape[-2], pad.shape[-1]
-    mbh, mbw = h // 16, w // 16
-    shifts = _roll_shifts(np.asarray(SPIRAL_UNION), 16, ph, pw)
-    nu = len(shifts)
-
-    def kernel(sh_ref, cur_ref, pad_ref, out_ref):
-        cur_i = cur_ref[0].astype(jnp.int32)
-        pad_i = pad_ref[0].astype(jnp.int32)
-        rowsum = _iota_eq(mbh, h, 16)
-        colsum = _iota_eq(mbw, w, 16).T
-
-        def body(k, _):
-            win = pltpu.roll(
-                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
-            )[:h, :w]
-            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
-            # precision notes as in sad_best: first matmul exact at default
-            # (inputs <= 255), second needs HIGHEST (row sums up to 4080)
-            s = jnp.dot(
-                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
-                colsum,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)
-            out_ref[0, k] = s
-            return 0
-
-        jax.lax.fori_loop(0, nu, body, 0)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, nu, mbh, mbw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((g, nu, mbh, mbw), jnp.int32),
-        interpret=interpret,
-    )(jnp.asarray(shifts), cur, pad)
+    content class where the canonical fixed-table walk breaks early.
+    The production engine prefers sad_mc_best's canonical rows +
+    sad_union_extra (66 rolls); this full 129-roll sweep is kept for the
+    tiles path spec tests and standalone use."""
+    return _sad_dense_rolls(cur, pad, SPIRAL_UNION, interpret)
 
 
 def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: bool):
     """pad: (B, H+2p, W+2p) uint8; idx: (B, H//block, W//block) int32 of
-    offset-table indices.  Returns pred (B, H, W) int32."""
+    offset-table indices.  Returns pred (B, H, W) uint8 (predictors are
+    pixels; the narrow output keeps the kernel inside the 16 MB scoped
+    VMEM limit at large resolutions — an i32 pred OOMed at 720p)."""
     b, bh, bw = idx.shape
     h, w = bh * block, bw * block
     pad = _lane_extend(pad)
@@ -398,11 +357,13 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
     shifts = _roll_shifts(np.asarray(offsets, np.int32), padlen, ph, pw)
 
     def kernel(sh_ref, idx_ref, pad_ref, out_ref):
-        pad_i = pad_ref[0].astype(jnp.int32)
+        # MC does no pixel arithmetic — everything stays uint8 (the i32
+        # version exceeded the 16 MB scoped-VMEM limit at 720p).
+        pad_u = pad_ref[0]
         # per-pixel offset-id map: elementwise block expansion via 0/1
         # matmuls (pltpu.repeat has tile, not elementwise, semantics).
         # Default (single-pass bf16) precision is exact here: every
-        # value in play is a 0/1 or an offset index <= 63, and each
+        # value in play is a 0/1 or an offset index <= 128, and each
         # output element is a one-term product — nothing exceeds bf16's
         # exact-integer range at any point.
         rows = _iota_eq(bh, h, block)        # (bh, H)
@@ -415,11 +376,13 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
 
         def body(u, pred):
             win = pltpu.roll(
-                pltpu.roll(pad_i, sh_ref[u, 0], axis=0), sh_ref[u, 1], axis=1
+                pltpu.roll(pad_u, sh_ref[u, 0], axis=0), sh_ref[u, 1], axis=1
             )[:h, :w]
             return jnp.where(bm == u, win, pred)
 
-        out_ref[0] = jax.lax.fori_loop(0, len(shifts), body, jnp.zeros((h, w), jnp.int32))
+        out_ref[0] = jax.lax.fori_loop(
+            0, len(shifts), body, jnp.zeros((h, w), jnp.uint8)
+        )
 
     return pl.pallas_call(
         kernel,
@@ -430,7 +393,7 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
             pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
         interpret=interpret,
     )(jnp.asarray(shifts), idx, pad)
 
