@@ -180,6 +180,7 @@ def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
             jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
             jax.ShapeDtypeStruct((g, mbh, mbw), jnp.int32),
         ),
+        compiler_params=_vmem_params(ph, pw, h, w, 4),
         interpret=interpret,
     )(jnp.asarray(shifts), cur, pad)
 
@@ -275,6 +276,7 @@ def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
             jax.ShapeDtypeStruct((g, N_CANON, mbh, mbw), jnp.int32),
             jax.ShapeDtypeStruct((g, h, w), jnp.uint8),
         ),
+        compiler_params=_vmem_params(ph, pw, h, w, 6),
         interpret=interpret,
     )(jnp.asarray(shifts), jnp.asarray(step2row), cur, pad)
 
@@ -330,6 +332,7 @@ def _sad_dense_rolls(cur, pad, offsets, interpret):
             (1, nu, mbh, mbw), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((g, nu, mbh, mbw), jnp.int32),
+        compiler_params=_vmem_params(ph, pw, h, w, 4),
         interpret=interpret,
     )(jnp.asarray(shifts), cur, pad)
 
@@ -345,11 +348,27 @@ def sad_union(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False) -> jn
     return _sad_dense_rolls(cur, pad, SPIRAL_UNION, interpret)
 
 
+def _vmem_params(ph: int, pw: int, h: int, w: int, n32: int) -> pltpu.CompilerParams:
+    """Scoped-VMEM limit for the roll kernels at large resolutions: the
+    Mosaic default (16 MB) fits CIF but not 720p's i32 intermediates.
+    n32 generously counts the 4-byte frame-sized live values (padded
+    frame + rolled window + per-kernel accumulators); v5e has 128 MB of
+    VMEM so the 2x-slack estimate is clamped there."""
+    est = 4 * (2 * ph * pw + n32 * h * w)
+    lim = int(min(120 * 2**20, max(32 * 2**20, 2 * est)))
+    return pltpu.CompilerParams(vmem_limit_bytes=lim)
+
+
 def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: bool):
     """pad: (B, H+2p, W+2p) uint8; idx: (B, H//block, W//block) int32 of
-    offset-table indices.  Returns pred (B, H, W) uint8 (predictors are
-    pixels; the narrow output keeps the kernel inside the 16 MB scoped
-    VMEM limit at large resolutions — an i32 pred OOMed at 720p)."""
+    offset-table indices.  Returns pred (B, H, W) uint8.
+
+    `pltpu.roll` only lowers for 32-bit vectors on this Mosaic ("Rotate
+    with non-32-bit data" — a uint8-roll variant failed chip compile in
+    round 3), so the frame is widened to i32 for the rolls and narrowed
+    back to uint8 only at the store; the 720p VMEM pressure that
+    motivated the uint8 attempt is handled by raising the scoped-VMEM
+    limit instead (_vmem_params)."""
     b, bh, bw = idx.shape
     h, w = bh * block, bw * block
     pad = _lane_extend(pad)
@@ -357,9 +376,7 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
     shifts = _roll_shifts(np.asarray(offsets, np.int32), padlen, ph, pw)
 
     def kernel(sh_ref, idx_ref, pad_ref, out_ref):
-        # MC does no pixel arithmetic — everything stays uint8 (the i32
-        # version exceeded the 16 MB scoped-VMEM limit at 720p).
-        pad_u = pad_ref[0]
+        pad_i = pad_ref[0].astype(jnp.int32)
         # per-pixel offset-id map: elementwise block expansion via 0/1
         # matmuls (pltpu.repeat has tile, not elementwise, semantics).
         # Default (single-pass bf16) precision is exact here: every
@@ -376,13 +393,14 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
 
         def body(u, pred):
             win = pltpu.roll(
-                pltpu.roll(pad_u, sh_ref[u, 0], axis=0), sh_ref[u, 1], axis=1
+                pltpu.roll(pad_i, sh_ref[u, 0], axis=0), sh_ref[u, 1], axis=1
             )[:h, :w]
             return jnp.where(bm == u, win, pred)
 
-        out_ref[0] = jax.lax.fori_loop(
-            0, len(shifts), body, jnp.zeros((h, w), jnp.uint8)
+        pred = jax.lax.fori_loop(
+            0, len(shifts), body, jnp.zeros((h, w), jnp.int32)
         )
+        out_ref[0] = pred.astype(jnp.uint8)
 
     return pl.pallas_call(
         kernel,
@@ -394,6 +412,7 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.uint8),
+        compiler_params=_vmem_params(ph, pw, h, w, 4),
         interpret=interpret,
     )(jnp.asarray(shifts), idx, pad)
 

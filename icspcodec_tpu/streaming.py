@@ -25,7 +25,10 @@ import time
 import numpy as np
 
 from .bitstream import frame_items, pack_header
-from .codec import _acflag, _encode_gop_jit, _encode_intra_jit, _me_impl, _np, _device_for
+from .codec import (
+    _acflag, _encode_gop_items_jit, _encode_gop_jit, _encode_intra_items_jit,
+    _encode_intra_jit, _me_impl, _np, _device_for, _pack_bucketed,
+)
 from .config import CodecConfig
 from .metrics import GopRecord, MetricsLog, psnr_y
 
@@ -50,6 +53,85 @@ def _gop_fingerprint(y, cb, cr, cfg: CodecConfig) -> str:
     for arr in (y, cb, cr):
         h.update(np.ascontiguousarray(arr).tobytes())
     return h.hexdigest()
+
+
+def _pack_row(codes, lengths):
+    """Host MSB-first bit pack of VLC items into ONE row: (bytes, nbits).
+
+    The per-GOP analog of bitstream_device.pack_frames_dev (no tail
+    convention — that is applied once by assemble_frames at finalize).
+    Used to splice legacy/host-entropy "items" chunks together with
+    device-packed chunks at bit granularity."""
+    L = np.asarray(lengths, np.int64).ravel()
+    c = np.asarray(codes, np.uint64).ravel()
+    total = int(L.sum())
+    if total == 0:
+        return np.zeros(0, np.uint8), 0
+    j = np.arange(int(L.max()), dtype=np.int64)
+    shift = L[:, None] - 1 - j                     # (n, maxlen)
+    bits = ((c[:, None] >> np.maximum(shift, 0).astype(np.uint64)) & 1).astype(np.uint8)
+    return np.packbits(bits[shift >= 0]), total    # row-major: MSB-first per item
+
+
+def _stack_rows(rows):
+    """Stack packed byte rows of unequal bucket widths (intra vs inter
+    packs bucket separately) into one zero-padded (F, maxbytes) array."""
+    m = max(r.shape[0] for r in rows)
+    out = np.zeros((len(rows), m), np.uint8)
+    for i, r in enumerate(rows):
+        out[i, :r.shape[0]] = r
+    return out
+
+
+def _encode_gop_batch_dev(y, cb, cr, cfg: CodecConfig):
+    """Device-entropy variant of _encode_gop_batch (VERDICT r3 next #7):
+    symbols never cross the link — frame items + bit packing run on the
+    accelerator (bitstream_device) and only packed frames plus per-frame
+    MSE scalars are pulled.  Returns per-GOP (rows (P, maxbytes) uint8,
+    nbits (P,) int64, psnr_y float)."""
+    import jax.numpy as jnp
+
+    exact = cfg.precision == "exact"
+    g, p = y.shape[:2]
+
+    def frame_mse(recon, orig):
+        # per-frame MSE on device; only (F,) scalars cross the link
+        d = jnp.asarray(recon).astype(jnp.float32) - jnp.asarray(orig).astype(jnp.float32)
+        return np.asarray(jnp.mean(d * d, axis=(-2, -1)), np.float64)
+
+    with _device_for(exact):
+        if p == 1:
+            ci, li, recon_t = _encode_intra_items_jit(
+                y[:, 0], cb[:, 0], cr[:, 0], cfg.qp_dc, cfg.qp_ac, exact
+            )
+            rows, bits = _pack_bucketed(ci, li)
+            mse = frame_mse(recon_t[0], y[:, 0]).reshape(g, 1)
+            return [
+                (np.stack(rows[gi:gi + 1]), np.asarray(bits[gi:gi + 1], np.int64),
+                 _psnr_from_mse(mse[gi]))
+                for gi in range(g)
+            ]
+        (ci, li), (cp, lp), recons = _encode_gop_items_jit(
+            y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact)
+        )
+        ri, bi = _pack_bucketed(ci, li)
+        rp, bp = _pack_bucketed(cp, lp)
+        mse_i = frame_mse(recons[0][0], y[:, 0])                 # (G,)
+        mse_p = frame_mse(recons[1][0], y[:, 1:]).reshape(g, p - 1)
+    out = []
+    for gi in range(g):
+        sl = slice(gi * (p - 1), (gi + 1) * (p - 1))
+        rows = _stack_rows([ri[gi]] + rp[sl])
+        bits = np.asarray([bi[gi]] + bp[sl], np.int64)
+        psnr = _psnr_from_mse(np.concatenate([[mse_i[gi]], mse_p[gi]]))
+        out.append((rows, bits, psnr))
+    return out
+
+
+def _psnr_from_mse(mse: np.ndarray) -> float:
+    """metrics.psnr_y convention: mean over frames of per-frame PSNR."""
+    mse = np.maximum(np.asarray(mse, np.float64), 1e-12)
+    return float((20 * np.log10(255.0 / np.sqrt(mse))).mean())
 
 
 def _encode_gop_batch(y, cb, cr, cfg: CodecConfig, mesh):
@@ -160,6 +242,8 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
         mesh = mesh_for(cfg.gop_shards, cfg.precision == "exact")
 
     fps = {g: _gop_fingerprint(y[idxs], cb[idxs], cr[idxs], cfg) for g, idxs in gops}
+    # done[g] = (rows list of uint8 arrays, nbits list) — the unified
+    # bit-row representation both chunk kinds reduce to (see finalize)
     done: dict = {}
     pending = []
     for g, idxs in gops:
@@ -173,7 +257,11 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
                     f"(fingerprint {stored} != {fps[g]}); refusing to resume — "
                     "use a fresh workdir or delete the stale chunks"
                 )
-            done[g] = (data["codes"], data["lengths"])
+            if "packed" in data:       # device-entropy chunk: per-frame rows
+                done[g] = (list(data["packed"]), list(data["nbits"]))
+            else:                      # items chunk: one row for the GOP
+                row, nb = _pack_row(data["codes"], data["lengths"])
+                done[g] = ([row], [nb])
         else:
             pending.append((g, idxs))
 
@@ -186,35 +274,59 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
             rounds[-1].append((g, idxs))
         else:
             rounds.append([(g, idxs)])
+    # device entropy mirrors codec.encode's gating: the plain (unsharded)
+    # path keeps symbols on the accelerator and pulls only packed frames
+    # (r3 pulled ~150 MB of symbols per CIF300 over the ~20 MB/s tunnel)
+    dev_entropy = mesh is None and cfg.entropy != "host"
     for batch in rounds:
         t0 = time.time()
         stack = lambda a: np.stack([a[idxs] for _, idxs in batch])
-        items = _encode_gop_batch(stack(y), stack(cb), stack(cr), cfg, mesh)
+        if dev_entropy:
+            items = _encode_gop_batch_dev(stack(y), stack(cb), stack(cr), cfg)
+        else:
+            items = _encode_gop_batch(stack(y), stack(cb), stack(cr), cfg, mesh)
         wall = (time.time() - t0) / len(batch)
-        for (g, idxs), (codes, lengths, recon) in zip(batch, items):
+        for (g, idxs), res in zip(batch, items):
             chunk = wd / f"gop_{g:05d}.npz"
             tmp = chunk.with_suffix(".tmp.npz")
-            np.savez_compressed(tmp, codes=codes, lengths=lengths, fingerprint=fps[g])
+            if dev_entropy:
+                rows, nbits, psnr = res
+                np.savez_compressed(
+                    tmp, packed=rows, nbits=nbits, fingerprint=fps[g]
+                )
+                bits_total = int(nbits.sum())
+                done[g] = (list(rows), list(nbits))
+            else:
+                codes, lengths, recon = res
+                np.savez_compressed(
+                    tmp, codes=codes, lengths=lengths, fingerprint=fps[g]
+                )
+                bits_total = int(lengths.sum())
+                psnr = psnr_y(np.stack(recon["y"]), y[idxs])
+                row, nb = _pack_row(codes, lengths)
+                done[g] = ([row], [nb])
             os.replace(tmp, chunk)  # atomic: a crash never leaves a bad chunk
             metrics.add(
                 GopRecord(
                     seq=seq_name,
                     gop_index=g,
                     frames=len(idxs),
-                    bits=int(lengths.sum()),
+                    bits=bits_total,
                     wall_s=wall,
-                    psnr_y_db=psnr_y(np.stack(recon["y"]), y[idxs]),
+                    psnr_y_db=psnr,
                     process_index=proc,
                 )
             )
-            done[g] = (codes, lengths)
 
-    all_codes = [done[g][0] for g, _ in gops]
-    all_lengths = [done[g][1] for g, _ in gops]
+    from .bitstream_device import assemble_frames
 
-    from .bitstream import pack_items
-
-    body = pack_items(np.concatenate(all_codes), np.concatenate(all_lengths))
+    rows_all: list = []
+    nbits_all: list = []
+    for g, _ in gops:
+        r, n = done[g]
+        rows_all += r
+        nbits_all += n
+    body = assemble_frames(rows_all, nbits_all)
     return (
         pack_header(cfg.height, cfg.width, cfg.qp_dc, cfg.qp_ac, cfg.intra_period)
         + body

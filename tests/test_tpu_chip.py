@@ -74,3 +74,40 @@ def test_device_entropy_and_packed_intra_on_chip():
     b = jax.jit(lambda o: intra_luma_scan_packed(o, 16, 16, dtype=jnp.float32))(orig)
     for k in ("recon", "scan", "mpm", "mode_bit"):
         assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
+def test_pallas_decode_on_chip_matches_xla():
+    """Compiled pallas GOP *decode* == XLA decode on the real TPU: compiles
+    mc_select_luma/chroma AND the union variants (dec src:4371-4419) —
+    lax.cond compiles both MC branches regardless of the runtime
+    predicate, so this covers the full decode MC kernel surface.  Added
+    after round 3 shipped a Mosaic-only MC regression the encode-side
+    chip test was never run against (VERDICT r3 next #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icspcodec_tpu.codec import _decode_gop_jit
+    from icspcodec_tpu.constants import COS_ENC
+    from icspcodec_tpu.engine.inter import encode_gop
+
+    assert jax.default_backend() != "cpu"
+    rng = np.random.default_rng(17)
+    g, p, h, w = 2, 4, 288, 352
+    yn = rng.integers(0, 256, (g, p, h, w), np.uint8)
+    yn[..., 32:96, 32:96] = 0  # zero-SAD MBs -> stateful MVs in the stream
+    y = jnp.asarray(yn)
+    cb = jnp.asarray(rng.integers(0, 256, (g, p, h // 2, w // 2), np.uint8))
+    cr = jnp.asarray(rng.integers(0, 256, (g, p, h // 2, w // 2), np.uint8))
+    intra, inter = jax.jit(
+        lambda *t: encode_gop(*t, 16, 16, table=COS_ENC, dtype=jnp.float32, me="xla")
+    )(y, cb, cr)
+    sym_i = {k: intra[k] for k in ("y_scan", "mpm", "mode_bit", "cb_scan", "cr_scan")}
+    sym_p = {k: inter[k] for k in ("y_scan", "mv_diff", "cb_scan", "cr_scan")}
+    a = _decode_gop_jit(sym_i, sym_p, 16, 16, False, me="xla")
+    b = _decode_gop_jit(sym_i, sym_p, 16, 16, False, me="pallas")
+    for pa, pb in zip(a, b):
+        for k in pa:
+            assert np.array_equal(np.asarray(pa[k]), np.asarray(pb[k])), k
+    # decode must reproduce the encoder's reconstruction
+    assert np.array_equal(np.asarray(b[0]["y"]), np.asarray(intra["recon_y"]))
+    assert np.array_equal(np.asarray(b[1]["y"]), np.asarray(inter["recon_y"]))

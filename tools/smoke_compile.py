@@ -1,0 +1,97 @@
+"""Compile-only smoke for every production pallas kernel (pre-commit gate).
+
+The CPU suite runs the pallas kernels in interpret mode, which cannot see
+Mosaic lowering restrictions (the round-3 uint8 `pltpu.roll` regression
+shipped green on CPU and broke every MC kernel on the chip).  This tool
+AOT-lowers and Mosaic-compiles each production kernel — no execution, no
+data transfer — at CIF and 720p shapes, in minutes from a warm cache.
+
+Run it on the real chip after ANY change to ops/pallas_me.py or engine/:
+
+    python tools/smoke_compile.py            # CIF + 720p
+    python tools/smoke_compile.py --shapes cif
+
+Exit 0 = every kernel compiles; non-zero prints the failing kernel.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+# persistent compile cache (remote Mosaic compiles take minutes cold)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from icspcodec_tpu.ops import pallas_me as pme  # noqa: E402
+
+SHAPES = {
+    "qcif": (176, 144),
+    "cif": (352, 288),
+    "4cif": (704, 576),
+    "720p": (1280, 720),
+}
+G = 2  # small batch: the grid dim doesn't change Mosaic lowering
+
+
+def _s(shape, dtype=jnp.uint8):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def kernel_cases(w: int, h: int):
+    """(name, jitted fn, abstract args) for every production kernel."""
+    mbh, mbw = h // 16, w // 16
+    ch, cw = h // 2, w // 2
+    cases = [
+        ("sad_best", pme.sad_best, (_s((G, h, w)), _s((G, h + 32, w + 32)))),
+        ("sad_mc_best", pme.sad_mc_best, (_s((G, h, w)), _s((G, h + 32, w + 32)))),
+        ("sad_union_extra", pme.sad_union_extra, (_s((G, h, w)), _s((G, h + 32, w + 32)))),
+        ("sad_union", pme.sad_union, (_s((G, h, w)), _s((G, h + 32, w + 32)))),
+        ("mc_select_luma", pme.mc_select_luma,
+         (_s((G, h + 32, w + 32)), _s((G, mbh, mbw), jnp.int32))),
+        ("mc_select_luma_union", pme.mc_select_luma_union,
+         (_s((G, h + 32, w + 32)), _s((G, mbh, mbw), jnp.int32))),
+        ("mc_select_chroma", pme.mc_select_chroma,
+         (_s((2 * G, ch + 16, cw + 16)), _s((2 * G, ch // 8, cw // 8), jnp.int32))),
+        ("mc_select_chroma_union", pme.mc_select_chroma_union,
+         (_s((2 * G, ch + 16, cw + 16)), _s((2 * G, ch // 8, cw // 8), jnp.int32))),
+    ]
+    return cases
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", nargs="*", default=["cif", "720p"],
+                    choices=sorted(SHAPES))
+    args = ap.parse_args()
+
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={jax.devices()}")
+    if backend == "cpu":
+        print("WARNING: CPU backend — this does NOT validate Mosaic lowering", file=sys.stderr)
+
+    failures = []
+    for sh in args.shapes:
+        w, h = SHAPES[sh]
+        for name, fn, sds in kernel_cases(w, h):
+            t0 = time.time()
+            try:
+                fn.lower(*sds).compile()
+                print(f"  OK   {sh:5s} {name:24s} {time.time() - t0:6.1f}s")
+            except Exception as e:
+                failures.append((sh, name))
+                msg = str(e).splitlines()[0][:160]
+                print(f"  FAIL {sh:5s} {name:24s} {msg}")
+    if failures:
+        print(f"\n{len(failures)} kernel(s) FAILED Mosaic compile: {failures}")
+        return 1
+    print("\nall kernels compile")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
