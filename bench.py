@@ -84,7 +84,7 @@ def main():
     yj, cbj, crj = jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)
 
     def intra_body(d):
-        out = encode_intra_frames(yj + d, cbj, crj, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        out = encode_intra_frames(yj + d, cbj, crj, 16, 16, table=COS_ENC, dtype=jnp.float32, me=me)
         return checksum(out)
 
     t_i = per_call(intra_body)
@@ -92,7 +92,7 @@ def main():
 
     @jax.jit
     def intra_psnr(y, cb, cr):
-        out = encode_intra_frames(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        out = encode_intra_frames(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32, me=me)
         return jnp.mean(
             (out["recon_y"].astype(jnp.float32) - y.astype(jnp.float32)) ** 2,
             axis=(1, 2),
@@ -119,7 +119,7 @@ def main():
     from icspcodec_tpu.constants import COS_DEC
 
     enc_i = jax.jit(
-        lambda: encode_intra_frames(yj, cbj, crj, 16, 16, table=COS_ENC, dtype=jnp.float32)
+        lambda: encode_intra_frames(yj, cbj, crj, 16, 16, table=COS_ENC, dtype=jnp.float32, me=me)
     )()
     enc_gi, enc_gp = jax.jit(
         lambda: encode_gop(yg, cbg, crg, 16, 16, table=COS_ENC, dtype=jnp.float32, me=me)
@@ -129,6 +129,7 @@ def main():
         out = decode_intra_frames(
             enc_i["y_scan"] + d.astype(jnp.int16), enc_i["mpm"], enc_i["mode_bit"],
             enc_i["cb_scan"], enc_i["cr_scan"], 16, 16, table=COS_DEC, dtype=jnp.float32,
+            me=me,
         )
         return checksum(out)
 

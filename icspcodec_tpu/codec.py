@@ -71,10 +71,10 @@ def _acflag(scan: np.ndarray) -> np.ndarray:
     return (np.count_nonzero(scan[..., 1:], axis=-1) == 0).astype(np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
-def _encode_intra_jit(y, cb, cr, qdc, qac, exact):
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
+def _encode_intra_jit(y, cb, cr, qdc, qac, exact, me="xla"):
     dt = jnp.float64 if exact else jnp.float32
-    return encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
+    return encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
 
 
 _ME_IMPLS = ("xla", "pallas", "pallas_interpret")
@@ -115,13 +115,13 @@ def _encode_gop_jit(y, cb, cr, qdc, qac, exact, me="xla"):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
-def _encode_intra_items_jit(y, cb, cr, qdc, qac, exact):
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
+def _encode_intra_items_jit(y, cb, cr, qdc, qac, exact, me="xla"):
     from .bitstream_device import frame_items_dev
     from .engine.intra import _acflag_from_scan
 
     dt = jnp.float64 if exact else jnp.float32
-    out = encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt)
+    out = encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
     sym = {k: out[k] for k in _INTRA_KEYS}
     sym["y_acflag"] = _acflag_from_scan(out["y_scan"])
     codes, lengths = frame_items_dev(sym, True)
@@ -196,7 +196,7 @@ def _encode_device_entropy(y, cb, cr, cfg: CodecConfig, return_recon: bool):
     with _device_for(exact):
         if eff == 1:
             ci, li, recon_t = _encode_intra_items_jit(
-                y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact
+                y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact)
             )
             r, b = _pack_bucketed(ci, li)
             for n in range(nf):
@@ -216,7 +216,8 @@ def _encode_device_entropy(y, cb, cr, cfg: CodecConfig, return_recon: bool):
                 crb = cr[idx.ravel()].reshape(g, p, *cr.shape[1:])
                 if p == 1:
                     ci, li, recon_t = _encode_intra_items_jit(
-                        yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact
+                        yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact,
+                        me=_me_impl(exact)
                     )
                     r, b = _pack_bucketed(ci, li)
                     for j, n in enumerate(idx[:, 0]):
@@ -320,7 +321,7 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig,
             out = encode_intra_padded(y, cb, cr, cfg.qp_dc, cfg.qp_ac, mesh, dtype=dt)
         else:
             with _device_for(exact):
-                out = _np(_encode_intra_jit(y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact))
+                out = _np(_encode_intra_jit(y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact)))
         emit_intra(out, np.arange(nf))
     else:
         nfull, rem = divmod(nf, eff)
@@ -365,7 +366,7 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig,
                     intra, inter = _np(
                         _encode_gop_jit(yb, cbb, crb, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact))
                     ) if p > 1 else (
-                        _np(_encode_intra_jit(yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact)),
+                        _np(_encode_intra_jit(yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact))),
                         None,
                     )
             emit_intra(intra, idx[:, 0])
@@ -403,11 +404,11 @@ def encode(y: np.ndarray, cb: np.ndarray, cr: np.ndarray, cfg: CodecConfig,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact"))
-def _decode_intra_jit(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, exact):
+@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
+def _decode_intra_jit(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, exact, me="xla"):
     dt = jnp.float64 if exact else jnp.float32
     return decode_intra_frames(
-        y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table=COS_DEC, dtype=dt
+        y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table=COS_DEC, dtype=dt, me=me
     )
 
 
@@ -423,7 +424,7 @@ def _decode_gop_jit(sym_i, sym_p, qdc, qac, exact, me="xla"):
     dt = jnp.float64 if exact else jnp.float32
     first = decode_intra_frames(
         sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
-        sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, table=COS_DEC, dtype=dt,
+        sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, table=COS_DEC, dtype=dt, me=me,
     )
     mv, any_nc = decode_gop_mvs(sym_p["mv_diff"], me=me)
     sym_p = dict(sym_p, mv=mv)
@@ -498,6 +499,7 @@ def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int 
                 out = _np(_decode_intra_jit(
                     syms["y_scan"], syms["mpm"], syms["mode_bit"],
                     syms["cb_scan"], syms["cr_scan"], qdc, qac, exact,
+                    me=_me_impl(exact),
                 ))
         y[:], cb[:], cr[:] = out["y"], out["cb"], out["cr"]
     else:
@@ -527,6 +529,7 @@ def decode(data: bytes, nframes: int, precision: str = "exact", gop_shards: int 
                         out = _np(_decode_intra_jit(
                             sym_i["y_scan"], sym_i["mpm"], sym_i["mode_bit"],
                             sym_i["cb_scan"], sym_i["cr_scan"], qdc, qac, exact,
+                            me=_me_impl(exact),
                         ))
                 for gi, n in enumerate(idx[:, 0]):
                     y[n], cb[n], cr[n] = out["y"][gi], out["cb"][gi], out["cr"][gi]

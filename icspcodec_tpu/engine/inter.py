@@ -170,7 +170,7 @@ def encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=jnp.float64, me: str = 
     Returns per-frame symbol arrays stacked on axis 1 plus recon planes.
     """
     g, p = y.shape[0], y.shape[1]
-    intra = encode_intra_frames(y[:, 0], cb[:, 0], cr[:, 0], qdc, qac, table=table, dtype=dtype)
+    intra = encode_intra_frames(y[:, 0], cb[:, 0], cr[:, 0], qdc, qac, table=table, dtype=dtype, me=me)
 
     if p == 1:
         return intra, None

@@ -64,17 +64,32 @@ def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, 
     return dict(scan=sc, acflag=acf, idct=r)
 
 
-def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, me: str = "xla"):
     """Encode a batch of intra frames.
 
     y: (F, H, W) uint8; cb/cr: (F, H/2, W/2) uint8.
     Returns dict of recon planes + all bitstream symbols.
+
+    me: implementation selector (same vocabulary as the inter engine):
+    "xla" runs the packed-diagonal XLA scan; "pallas" /
+    "pallas_interpret" run the fused single-kernel wavefront
+    (ops/pallas_intra.py) on the fast f32 path — bit-identical output,
+    one pallas program instead of 114 scan steps.  The exact float64
+    path always uses the XLA scan (the fused kernel is f32-only).
     """
     orig = to_blocks(y).astype(jnp.int32)
     # packed-diagonal wavefront: bit-identical to intra_luma_scan, reads
     # only constant-shifted boundary rows per step instead of gathering
     # the full block grid (throughput; see wavefront.py)
-    lum = intra_luma_scan_packed(orig, qdc, qac, table=table, dtype=dtype)
+    if me != "xla" and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_intra import intra_luma_scan_fused
+
+        lum = intra_luma_scan_fused(
+            orig, qdc, qac, table=table, dtype=dtype,
+            interpret=(me == "pallas_interpret"),
+        )
+    else:
+        lum = intra_luma_scan_packed(orig, qdc, qac, table=table, dtype=dtype)
     # symbols travel device->host: narrow dtypes halve the transfer
     out = dict(
         recon_y=from_blocks(lum["recon"]).astype(jnp.uint8),
@@ -109,15 +124,28 @@ def _acflag_from_scan(scan: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table, dtype=jnp.float64):
-    """Inverse pipeline for a batch of intra frames (symbols -> planes)."""
-    q = izigzag(y_scan)
-    iq = dequant_block(q, qdc, qac)
-    gh, gw = q.shape[1:3]
-    dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
-    iq = iq.at[..., 0, 0].set(dq_dc)
-    r = idct(iq, table=table, dtype=dtype)
-    recon = intra_luma_decode_scan_packed(r, mpm, mode_bit, dtype=dtype)
+def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table, dtype=jnp.float64, me: str = "xla"):
+    """Inverse pipeline for a batch of intra frames (symbols -> planes).
+
+    me: "xla" composes the batched inverse ops + packed decode scan;
+    "pallas"/"pallas_interpret" run the whole luma path (izigzag,
+    dequant, DC chain, IDCT, pixel wavefront) as one fused kernel
+    (ops/pallas_intra.py) on the fast f32 path — identical bits."""
+    if me != "xla" and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_intra import intra_luma_decode_fused
+
+        recon = intra_luma_decode_fused(
+            y_scan, mpm, mode_bit, qdc, qac, table, dtype=dtype,
+            interpret=(me == "pallas_interpret"),
+        )
+    else:
+        q = izigzag(y_scan)
+        iq = dequant_block(q, qdc, qac)
+        gh, gw = q.shape[1:3]
+        dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
+        iq = iq.at[..., 0, 0].set(dq_dc)
+        r = idct(iq, table=table, dtype=dtype)
+        recon = intra_luma_decode_scan_packed(r, mpm, mode_bit, dtype=dtype)
     out = dict(y=from_blocks(recon).astype(jnp.uint8))
     for name, scan in (("cb", cb_scan), ("cr", cr_scan)):
         qc = izigzag(scan)

@@ -102,7 +102,8 @@ def _encode_gop_batch_dev(y, cb, cr, cfg: CodecConfig):
     with _device_for(exact):
         if p == 1:
             ci, li, recon_t = _encode_intra_items_jit(
-                y[:, 0], cb[:, 0], cr[:, 0], cfg.qp_dc, cfg.qp_ac, exact
+                y[:, 0], cb[:, 0], cr[:, 0], cfg.qp_dc, cfg.qp_ac, exact,
+                me=_me_impl(exact)
             )
             rows, bits = _pack_bucketed(ci, li)
             mse = frame_mse(recon_t[0], y[:, 0]).reshape(g, 1)
@@ -153,7 +154,8 @@ def _encode_gop_batch(y, cb, cr, cfg: CodecConfig, mesh):
         else:
             with _device_for(exact):
                 intra = _np(_encode_intra_jit(
-                    y[:, 0], cb[:, 0], cr[:, 0], cfg.qp_dc, cfg.qp_ac, exact
+                    y[:, 0], cb[:, 0], cr[:, 0], cfg.qp_dc, cfg.qp_ac, exact,
+                    me=_me_impl(exact)
                 ))
         inter = None
     else:

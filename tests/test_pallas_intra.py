@@ -1,0 +1,115 @@
+"""Fused pallas intra wavefront (ops/pallas_intra.py) == packed XLA scan.
+
+Interpret mode on CPU; the real-chip Mosaic equality lives in
+tests/test_tpu_chip.py (ICSP_TEST_TPU=1).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icspcodec_tpu.constants import COS_ENC
+from icspcodec_tpu.engine.wavefront import intra_luma_scan_packed
+from icspcodec_tpu.ops.pallas_intra import intra_luma_scan_fused
+
+
+def _blocks(f, gh, gw, seed):
+    r = np.random.default_rng(seed)
+    return jnp.asarray(r.integers(0, 256, (f, gh, gw, 8, 8), np.int32))
+
+
+@pytest.mark.parametrize(
+    "f,gh,gw,qdc,qac",
+    [
+        (3, 9, 12, 16, 16),   # small grid, pow2 qp
+        (2, 36, 44, 8, 16),   # CIF grid
+        (4, 6, 6, 10, 12),    # non-pow2 qp: f32-reciprocal C division
+        (1, 4, 18, 16, 16),   # wide: nmax capped by gh
+        (5, 18, 4, 16, 16),   # tall: short diagonals
+    ],
+)
+def test_fused_equals_packed(f, gh, gw, qdc, qac):
+    orig = _blocks(f, gh, gw, seed=gh * 100 + gw)
+    ref = intra_luma_scan_packed(orig, qdc, qac, table=COS_ENC, dtype=jnp.float32)
+    got = intra_luma_scan_fused(
+        orig, qdc, qac, table=COS_ENC, dtype=jnp.float32, interpret=True
+    )
+    for k in ("recon", "scan", "mpm", "mode_bit"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(ref[k]), err_msg=k
+        )
+
+
+def test_fused_through_engine():
+    """encode_intra_frames(me="pallas_interpret") == default XLA output."""
+    from icspcodec_tpu.engine.intra import encode_intra_frames
+
+    r = np.random.default_rng(7)
+    y = jnp.asarray(r.integers(0, 256, (2, 96, 128), np.uint8))
+    cb = jnp.asarray(r.integers(0, 256, (2, 48, 64), np.uint8))
+    cr = jnp.asarray(r.integers(0, 256, (2, 48, 64), np.uint8))
+    ref = encode_intra_frames(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32)
+    got = encode_intra_frames(
+        y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32, me="pallas_interpret"
+    )
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)
+
+
+def test_fused_rejects_f64():
+    with pytest.raises(ValueError):
+        intra_luma_scan_fused(_blocks(1, 4, 4, 0), 16, 16, dtype=jnp.float64)
+
+
+@pytest.mark.parametrize(
+    "f,gh,gw,qdc,qac",
+    [(3, 9, 12, 16, 16), (2, 36, 44, 8, 16), (4, 6, 6, 10, 12)],
+)
+def test_decode_fused_equals_xla(f, gh, gw, qdc, qac):
+    """Fused decode kernel (izigzag+dequant+DC chain+IDCT+wavefront) ==
+    the XLA composition, round-tripping real encoder symbols."""
+    from icspcodec_tpu.constants import COS_DEC
+    from icspcodec_tpu.engine.intra import decode_intra_frames
+    from icspcodec_tpu.ops.pallas_intra import intra_luma_decode_fused
+    from icspcodec_tpu.engine.intra import from_blocks
+
+    orig = _blocks(f, gh, gw, seed=5 + gh)
+    enc = intra_luma_scan_packed(orig, qdc, qac, table=COS_ENC, dtype=jnp.float32)
+    got = intra_luma_decode_fused(
+        enc["scan"], enc["mpm"], enc["mode_bit"], qdc, qac, COS_DEC,
+        dtype=jnp.float32, interpret=True,
+    )
+    # reference: XLA inverse composition (engine.intra.decode_intra_frames
+    # luma path) must reproduce the encoder's reconstruction
+    import jax.numpy as jnp2
+    from icspcodec_tpu.engine.wavefront import (
+        idc_dpcm_scan, intra_luma_decode_scan_packed, luma_dc_kind,
+    )
+    from icspcodec_tpu.ops.quant import dequant_block
+    from icspcodec_tpu.ops.scanorder import izigzag
+    from icspcodec_tpu.ops.transforms import idct
+
+    q = izigzag(enc["scan"])
+    iq = dequant_block(q, qdc, qac)
+    dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r = idct(iq, table=COS_DEC, dtype=jnp.float32)
+    ref = intra_luma_decode_scan_packed(r, enc["mpm"], enc["mode_bit"], dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_decode_fused_through_engine():
+    from icspcodec_tpu.constants import COS_DEC
+    from icspcodec_tpu.engine.intra import decode_intra_frames, encode_intra_frames
+
+    r = np.random.default_rng(9)
+    y = jnp.asarray(r.integers(0, 256, (2, 96, 128), np.uint8))
+    cb = jnp.asarray(r.integers(0, 256, (2, 48, 64), np.uint8))
+    cr = jnp.asarray(r.integers(0, 256, (2, 48, 64), np.uint8))
+    enc = encode_intra_frames(y, cb, cr, 16, 16, table=COS_ENC, dtype=jnp.float32)
+    args = (enc["y_scan"], enc["mpm"], enc["mode_bit"], enc["cb_scan"],
+            enc["cr_scan"], 16, 16)
+    ref = decode_intra_frames(*args, table=COS_DEC, dtype=jnp.float32)
+    got = decode_intra_frames(*args, table=COS_DEC, dtype=jnp.float32,
+                              me="pallas_interpret")
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(ref[k]), err_msg=k)

@@ -76,6 +76,50 @@ def test_device_entropy_and_packed_intra_on_chip():
         assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
 
 
+def test_fused_intra_kernel_on_chip_matches_xla():
+    """Compiled (Mosaic) fused intra wavefront kernel == packed XLA scan
+    on the real TPU, at the bench's F=300 CIF shape and through the
+    engine (chroma + symbol narrowing).  Covers the round-4 single-kernel
+    wavefront (ops/pallas_intra.py): lane rotates, DEFAULT-precision
+    DCT/IDCT matmuls, HIGHEST zigzag/extractions, f32 C-division."""
+    import jax
+    import jax.numpy as jnp
+
+    from icspcodec_tpu.constants import COS_ENC
+    from icspcodec_tpu.engine.intra import encode_intra_frames, to_blocks
+    from icspcodec_tpu.engine.wavefront import intra_luma_scan_packed
+    from icspcodec_tpu.ops.pallas_intra import intra_luma_scan_fused
+
+    assert jax.default_backend() != "cpu"
+    rng = np.random.default_rng(23)
+    f, h, w = 300, 288, 352
+    y = jnp.asarray(rng.integers(0, 256, (f, h, w), np.uint8))
+    orig = to_blocks(y).astype(jnp.int32)
+    a = jax.jit(lambda o: intra_luma_scan_packed(o, 16, 16, dtype=jnp.float32))(orig)
+    b = jax.jit(lambda o: intra_luma_scan_fused(o, 16, 16, dtype=jnp.float32))(orig)
+    for k in ("recon", "scan", "mpm", "mode_bit"):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+    cb = jnp.asarray(rng.integers(0, 256, (4, h // 2, w // 2), np.uint8))
+    cr = jnp.asarray(rng.integers(0, 256, (4, h // 2, w // 2), np.uint8))
+    ya = y[:4]
+    ea = jax.jit(lambda *t: encode_intra_frames(*t, 16, 16, table=COS_ENC, dtype=jnp.float32, me="xla"))(ya, cb, cr)
+    eb = jax.jit(lambda *t: encode_intra_frames(*t, 16, 16, table=COS_ENC, dtype=jnp.float32, me="pallas"))(ya, cb, cr)
+    for k in ea:
+        assert np.array_equal(np.asarray(ea[k]), np.asarray(eb[k])), k
+
+    # fused DECODE kernel: symbols -> planes, pallas == xla on chip
+    from icspcodec_tpu.constants import COS_DEC
+    from icspcodec_tpu.engine.intra import decode_intra_frames
+
+    args = (eb["y_scan"], eb["mpm"], eb["mode_bit"], eb["cb_scan"], eb["cr_scan"])
+    da = jax.jit(lambda *t: decode_intra_frames(*t, 16, 16, table=COS_DEC, dtype=jnp.float32, me="xla"))(*args)
+    db = jax.jit(lambda *t: decode_intra_frames(*t, 16, 16, table=COS_DEC, dtype=jnp.float32, me="pallas"))(*args)
+    for k in da:
+        assert np.array_equal(np.asarray(da[k]), np.asarray(db[k])), k
+    assert np.array_equal(np.asarray(db["y"]), np.asarray(ea["recon_y"]))
+
+
 def test_pallas_decode_on_chip_matches_xla():
     """Compiled pallas GOP *decode* == XLA decode on the real TPU: compiles
     mc_select_luma/chroma AND the union variants (dec src:4371-4419) —

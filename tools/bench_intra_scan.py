@@ -61,9 +61,18 @@ def main():
                                      dtype=jnp.float32, unroll=unroll)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
 
-    def full(d):
+    def full(d, me="xla"):
         out = encode_intra_frames(yj + d.astype(jnp.uint8), cbj, crj, 16, 16,
-                                  table=COS_ENC, dtype=jnp.float32)
+                                  table=COS_ENC, dtype=jnp.float32, me=me)
+        return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
+
+    # round-4 fused single-kernel wavefronts (ops/pallas_intra.py)
+    from icspcodec_tpu.ops.pallas_intra import (
+        intra_luma_decode_fused, intra_luma_scan_fused,
+    )
+
+    def lum_fused(d):
+        out = intra_luma_scan_fused(orig + d, 16, 16, table=COS_ENC, dtype=jnp.float32)
         return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
 
     # decode-side wavefronts
@@ -85,15 +94,32 @@ def main():
         out = intra_luma_decode_scan_packed(rr + d.astype(jnp.float32), mpm, bit, dtype=jnp.float32)
         return jnp.sum(out)
 
+    # fused decode: symbols -> recon (includes izigzag/dequant/DC/idct,
+    # which the packed decode scan does NOT — compare against dec_packed
+    # plus the batched inverse chain, i.e. the bench decode number)
+    from icspcodec_tpu.constants import COS_DEC
+
+    enc = jax.jit(lambda o: intra_luma_scan_fused(o, 16, 16, table=COS_ENC, dtype=jnp.float32))(orig)
+
+    def dec_fused(d):
+        out = intra_luma_decode_fused(
+            enc["scan"] + d, enc["mpm"], enc["mode_bit"], 16, 16, COS_DEC,
+            dtype=jnp.float32,
+        )
+        return jnp.sum(out)
+
     import functools as ft
     probes = [
         ("grid luma scan", lum_grid),
         ("packed luma scan", lum_packed),
         ("packed luma scan unroll=2", ft.partial(lum_packed, unroll=2)),
         ("packed luma scan unroll=4", ft.partial(lum_packed, unroll=4)),
+        ("FUSED luma kernel", lum_fused),
         ("full intra encode (packed)", full),
+        ("full intra encode (FUSED)", ft.partial(full, me="pallas")),
         ("grid decode scan", dec_grid),
         ("packed decode scan", dec_packed),
+        ("FUSED decode kernel (incl. inverse chain)", dec_fused),
     ]
     for name, fn in probes:
         t = per_call(fn)

@@ -68,7 +68,7 @@ def main():
 
         def intra_body(d):
             out = encode_intra_frames(yj + d, cbj, crj, 16, 16,
-                                      table=COS_ENC, dtype=jnp.float32)
+                                      table=COS_ENC, dtype=jnp.float32, me=me)
             return sum(jnp.sum(v.astype(jnp.int32)) for v in out.values())
 
         t_i = per_call(intra_body)

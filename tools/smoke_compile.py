@@ -16,8 +16,11 @@ Exit 0 = every kernel compiles; non-zero prints the failing kernel.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # persistent compile cache (remote Mosaic compiles take minutes cold)
 import jax
@@ -40,6 +43,42 @@ G = 2  # small batch: the grid dim doesn't change Mosaic lowering
 
 def _s(shape, dtype=jnp.uint8):
     return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def intra_fused_cases(w: int, h: int):
+    """Fused intra wavefront (ops/pallas_intra.py) at the production
+    batch shapes: F=300 (bench all-intra) and F=30 (GOP I-frames) for
+    CIF; F=30 for larger resolutions."""
+    import numpy as np
+
+    from icspcodec_tpu.ops import pallas_intra as pin
+    from icspcodec_tpu.engine.wavefront import diag_layout, _intra_lane_tables  # noqa: F401
+
+    gh, gw = h // 8, w // 8
+    fs = (300, 30) if (w, h) == (352, 288) else (30,)
+    cases = []
+    for f in fs:
+        nsteps, nmax, mp, hu, hl, kind, meta = pin._fused_tables(gh, gw, f)
+        args = (
+            _s((nsteps, 64, mp)),
+            _s((nsteps, 1, mp), jnp.int32),
+            _s((nsteps, 1, mp), jnp.int32),
+            _s((nsteps, 1, mp), jnp.int32),
+            _s((nsteps, 4), jnp.int32),
+        )
+        fn = lambda *a: pin._intra_rows_fused(*a, qdc=16, qac=16, table_key="enc")
+        cases.append((f"intra_fused_f{f}", jax.jit(fn), args))
+        # non-pow2 qp exercises the f32-reciprocal C division lowering
+        fn10 = lambda *a: pin._intra_rows_fused(*a, qdc=10, qac=12, table_key="enc")
+        cases.append((f"intra_fused_f{f}_q10", jax.jit(fn10), args))
+        dargs = (
+            _s((nsteps, 64, mp), jnp.int32),
+            _s((nsteps, 1, mp), jnp.int32),
+            _s((nsteps, 1, mp), jnp.int32),
+        ) + args[1:]
+        fnd = lambda *a: pin._intra_decode_rows_fused(*a, qdc=16, qac=16, table_key="dec")
+        cases.append((f"intra_dec_fused_f{f}", jax.jit(fnd), dargs))
+    return cases
 
 
 def kernel_cases(w: int, h: int):
@@ -77,7 +116,7 @@ def main() -> int:
     failures = []
     for sh in args.shapes:
         w, h = SHAPES[sh]
-        for name, fn, sds in kernel_cases(w, h):
+        for name, fn, sds in kernel_cases(w, h) + intra_fused_cases(w, h):
             t0 = time.time()
             try:
                 fn.lower(*sds).compile()
