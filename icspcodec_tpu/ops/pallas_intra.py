@@ -1,23 +1,36 @@
-"""Fused pallas intra-luma wavefront (encode fast path).
+"""Fused pallas intra-luma wavefront (encode + decode fast paths).
 
 The packed-diagonal XLA scan (engine/wavefront.intra_luma_scan_packed)
 is scan-step latency-bound: 114 steps x ~70 us of per-step launch/fusion
-overhead for CIF300 (~7.9 ms) against a ~0.7 ms bandwidth bound.  This
-kernel runs the ENTIRE wavefront as ONE pallas program: the grid
+overhead for CIF300 (~7.9 ms) against a ~0.7 ms bandwidth bound.  These
+kernels run the ENTIRE wavefront as ONE pallas program: the grid
 iterates the anti-diagonals sequentially (TPU grids execute in order),
 per-step boundary state (right pixel column, bottom pixel row, mode,
 dequantized DC — the only sequential dependencies) lives in VMEM scratch
-across grid steps, and each step's block math runs on (64, M) tiles
-where M = F * nmax lanes (frame-major packed diagonal).
+across grid steps, and each step's block math runs on (64, M) tiles.
 
-Layout: sublane = yx (the 64 coefficients / pixels of an 8x8 block),
-lane m = f * nmax + j (frame f, diagonal lane j).  Neighbor reads are
-per-step constant lane shifts (wavefront.diag_layout), realized as
-dynamic lane rotates (`pltpu.roll`, the production ME/MC mechanism on
-this Mosaic — misaligned slicing is broken, see ops/pallas_me.py).
-Rotation wraps across frame boundaries where the XLA formulation clips;
-both produce garbage only at lanes the availability masks kill, so the
-consumed values are identical.
+Lane layout — chosen so host<->kernel relayout needs NO gathers (XLA:TPU
+lowers multi-dimensional gathers near-serially; an index-map gather
+formulation of pack/unpack measured ~200x slower than the kernel):
+
+    lane m = f * NB + (gy mod NB),   NB = nmax (max anti-diagonal length)
+
+* Packing is a pure pad+reshape shear: padding each grid row to width
+  L and re-viewing the flat buffer with row length L-2 shifts row gy
+  left by 2*gy — exactly the d = 2*gy+gx anti-diagonal schedule — and a
+  sum over gh/NB row groups folds gy down to gy mod NB (each (step,
+  residue) holds at most one diagonal cell, the rest are zeros, so the
+  fold is exact).  Unpacking inverts it with a tile + the reverse
+  reshape trick.  Everything is pad/reshape/transpose/reduce — no
+  gathers.  The zig-zag (and inverse) permutations are the existing
+  production constant-index ops applied on the grid-shaped arrays.
+* Neighbor reads become STATIC lane rotates: left neighbors live at the
+  SAME lane (shift 0), and all up-row neighbors at lane-1 within the
+  frame's NB-group — one +1 rotate, plus a second rotate + select to fix
+  the group-internal wraparound at residue 0.  Rotation wraps across
+  frame boundaries where the XLA formulation clips; both produce garbage
+  only at lanes the availability masks kill, so consumed values are
+  identical.
 
 Math is expression-for-expression the fast (float32) path of
 intra_luma_scan_packed (reference: allintraPrediction enc src:446-555,
@@ -27,11 +40,15 @@ DPCM_pix_block :851, DCT_block :2685, Quantization :2780):
 * DCT / IDCT: the same 64x64 one-matmul formulation as
   ops/transforms.fdct fast path, at DEFAULT MXU precision so the bf16
   single-pass rounding matches XLA's einsum bit-for-bit
-* zigzag + row extractions: 0/1 matmuls at HIGHEST precision (inputs
-  exceed bf16's exact-integer range; HIGHEST is f32-exact for < 2^24)
+* row extractions: 0/1 matmuls (HIGHEST where inputs exceed bf16's
+  exact-integer range; f32-exact for < 2^24)
 * C integer division: power-of-two -> logical shift; otherwise an
   f32 reciprocal quotient with a +-1 correction step (exact for
   |t| < 2^24; Mosaic has no vector i32 divide)
+
+Two Mosaic traps pinned by tools/smoke_compile.py: jnp.select lowers to
+an integer argmax Mosaic only implements for f32, and jnp.where with i1
+vector branches crashes the compiler backend (pre-cast branches to i32).
 
 Equality vs the XLA scan is pinned in interpret mode by
 tests/test_pallas_intra.py and on the real chip by tests/test_tpu_chip.py.
@@ -46,8 +63,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import COS_ENC, ZIGZAG
-from ..engine.wavefront import _intra_lane_tables, _pack_diag_nd, _unpack_diag_nd, diag_layout
+from ..constants import COS_ENC
+from ..engine.wavefront import diag_layout, luma_dc_kind
+from .scanorder import izigzag, zigzag
 from .transforms import _fdct_matrix, _idct_matrix, _table_key
 
 
@@ -106,23 +124,24 @@ def _mm(a, b, precision=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qdc", "qac", "table_key", "interpret")
+    jax.jit, static_argnames=("nb", "qdc", "qac", "table_key", "interpret")
 )
-def _intra_rows_fused(orows, hu_t, hl_t, kind_t, meta, qdc: int, qac: int,
-                      table_key: str, interpret: bool = False):
-    """orows: (nsteps, 64, Mp) uint8 packed original blocks (frame-major
-    lanes); hu/hl/kind_t: (nsteps, 1, Mp) i32 per-lane tables; meta:
-    (nsteps, 4) i32 lane-rotate amounts for the l/u/ul/ur neighbor reads.
-    Returns (rec, sc, flag, bit) rows: (nsteps, 64, Mp) u8 / i32 and
-    (nsteps, 1, Mp) i32 x2."""
+def _intra_rows_fused(orows, hu_t, hl_t, kind_t, lane0_t, nb: int,
+                      qdc: int, qac: int, table_key: str,
+                      interpret: bool = False):
+    """orows: (nsteps, 64, Mp) uint8 diagonal rows, lane m = f*NB + gy%NB;
+    hu/hl/kind_t: (nsteps, 1, Mp) i32 per-lane tables; lane0_t: (1, 1, Mp)
+    i32 mask of residue-0 lanes (group-internal wraparound fix).
+    Returns (rec, q, flag, bit) rows: (nsteps, 64, Mp) u8 / i32 and
+    (nsteps, 1, Mp) i32 x2.  q rows are in yx (block) order — the caller
+    applies the zig-zag on the unpacked grid."""
     nsteps, _, mp = orows.shape
     m_f = _fdct_matrix(table_key, "float32")           # (64, 64)
     m_i = _idct_matrix(table_key, "float32")
-    p_zz = np.zeros((64, 64), np.float32)              # sc[o] = q[ZZ[o]]
-    p_zz[np.arange(64), np.asarray(ZIGZAG)] = 1.0
+    wrap = mp - nb + 1                                 # static rotate amounts
 
-    def kernel(meta_ref, orow_ref, hu_ref, hl_ref, kind_ref,
-               mf_ref, mi_ref, pzz_ref,
+    def kernel(orow_ref, hu_ref, hl_ref, kind_ref, l0_ref,
+               mf_ref, mi_ref,
                rec_ref, sc_ref, flag_ref, bit_ref,
                h1rc, h2rc, h3rc, h1br, h2br, h3br,
                h1md, h2md, h3md, h1dc, h2dc, h3dc):
@@ -135,24 +154,24 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, meta, qdc: int, qac: int,
             for ref in (h1md, h2md, h3md, h1dc, h2dc, h3dc):
                 ref[...] = jnp.zeros((1, mp), jnp.int32)
 
-        # neighbor lane shifts: rolled[i] = x[(i + s) % Mp] via amt = -s % Mp
-        a_l = meta_ref[d_id, 0]
-        a_u = meta_ref[d_id, 1]
-        a_ul = meta_ref[d_id, 2]
-        a_ur = meta_ref[d_id, 3]
+        is0 = l0_ref[0] != 0                            # (1, Mp)
 
-        def lane(x, amt):
-            return pltpu.roll(x, amt, axis=1)
+        def up_lane(x):
+            # read lane-1 within the frame's NB-group: global rotate by 1,
+            # with the residue-0 wraparound fixed by a second rotate
+            a = pltpu.roll(x, 1, axis=1)                # x[m-1]
+            b = pltpu.roll(x, wrap, axis=1)             # x[m+NB-1]
+            return jnp.where(jnp.broadcast_to(is0, x.shape), b, a)
 
-        left8 = lane(h1rc[...], a_l)                    # (8, Mp) i32
-        l_md = lane(h1md[...], a_l)                     # (1, Mp)
-        l_dq = lane(h1dc[...], a_l)
-        ur_dq = lane(h1dc[...], a_ur)
-        up8 = lane(h2br[...], a_u)
-        u_md = lane(h2md[...], a_u)
-        u_dq = lane(h2dc[...], a_u)
-        ul_md = lane(h3md[...], a_ul)
-        ul_dq = lane(h3dc[...], a_ul)
+        left8 = h1rc[...]                               # (8, Mp) i32, shift 0
+        l_md = h1md[...]
+        l_dq = h1dc[...]
+        ur_dq = up_lane(h1dc[...])
+        up8 = up_lane(h2br[...])
+        u_md = up_lane(h2md[...])
+        u_dq = up_lane(h2dc[...])
+        ul_md = up_lane(h3md[...])
+        ul_dq = up_lane(h3dc[...])
 
         hu = hu_ref[0] != 0                             # (1, Mp) bool
         hl = hl_ref[0] != 0
@@ -228,7 +247,6 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, meta, qdc: int, qac: int,
         d = jnp.where(row0, d - dc_pred_b, d)
         t = (d + 0.5).astype(jnp.int32)                 # trunc toward zero
         q = jnp.where(row0, _cdiv(t, qdc), _cdiv(t, qac))
-        sc = _mm(pzz_ref[...], _f32(q), _HI).astype(jnp.int32)
         iq = jnp.where(
             row0,
             q * qdc + jnp.broadcast_to(dc_pred, (64, mp)),
@@ -247,7 +265,7 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, meta, qdc: int, qac: int,
         rec = jnp.clip((r + predsel).astype(jnp.int32), 0, 255)
 
         rec_ref[0] = rec.astype(jnp.uint8)
-        sc_ref[0] = sc
+        sc_ref[0] = q.astype(jnp.int16)   # |q| <= ~2048: halve the stream
         flag_ref[0] = flag
         bit_ref[0] = bit
 
@@ -265,57 +283,53 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, meta, qdc: int, qac: int,
             h1[...] = new
 
     row_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
+    fix_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (0, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((64, 64), lambda d: (0, 0), memory_space=pltpu.VMEM)
-    big = [(8, mp)] * 6
-    small = [(1, mp)] * 6
     return pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # meta
-            row_spec(64), row_spec(1), row_spec(1), row_spec(1),
-            mat_spec, mat_spec, mat_spec,
+            row_spec(64), row_spec(1), row_spec(1), row_spec(1), fix_spec(1),
+            mat_spec, mat_spec,
         ],
         out_specs=(row_spec(64), row_spec(64), row_spec(1), row_spec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.uint8),
-            jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.int32),
+            jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.int16),
             jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
             jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM(s, jnp.int32) for s in big]
-        + [pltpu.VMEM(s, jnp.int32) for s in small],
+        scratch_shapes=[pltpu.VMEM((8, mp), jnp.int32)] * 6
+        + [pltpu.VMEM((1, mp), jnp.int32)] * 6,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(meta, orows, hu_t, hl_t, kind_t, m_f, m_i, p_zz)
+    )(orows, hu_t, hl_t, kind_t, lane0_t, m_f, m_i)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qdc", "qac", "table_key", "interpret")
+    jax.jit, static_argnames=("nb", "qdc", "qac", "table_key", "interpret")
 )
-def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, meta,
-                             qdc: int, qac: int, table_key: str,
+def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t,
+                             nb: int, qdc: int, qac: int, table_key: str,
                              interpret: bool = False):
     """Fused intra-luma DECODE wavefront: one pallas program running
-    izigzag + dequantization + the DC-DPCM inverse chain + IDCT + the
+    dequantization + the DC-DPCM inverse chain + IDCT + the
     mode-from-MPM-bits pixel reconstruction (reference decoder:
     IDPCM_pix_block dec src:3643-3990) per diagonal.
 
-    srows: (nsteps, 64, Mp) i32 zig-zag scan symbols; frows/brows:
+    srows: (nsteps, 64, Mp) i32 quantized symbols in yx (block) order
+    (the caller applies the inverse zig-zag before packing); frows/brows:
     (nsteps, 1, Mp) i32 mpm flag / remainder bit; tables as in
     _intra_rows_fused.  Returns rec rows (nsteps, 64, Mp) uint8."""
     nsteps, _, mp = srows.shape
     m_i = _idct_matrix(table_key, "float32")
-    p_izz = np.zeros((64, 64), np.float32)             # q[yx] = sc[IZZ[yx]]
-    izz = np.zeros(64, np.int64)
-    izz[np.asarray(ZIGZAG)] = np.arange(64)            # IZZ = argsort(ZZ)
-    p_izz[np.arange(64), izz] = 1.0
+    wrap = mp - nb + 1
 
-    def kernel(meta_ref, srow_ref, f_ref, b_ref, hu_ref, hl_ref, kind_ref,
-               mi_ref, pizz_ref, rec_ref,
+    def kernel(srow_ref, f_ref, b_ref, hu_ref, hl_ref, kind_ref, l0_ref,
+               mi_ref, rec_ref,
                h1rc, h2rc, h3rc, h1br, h2br, h3br,
                h1md, h2md, h3md, h1dc, h2dc, h3dc):
         d_id = pl.program_id(0)
@@ -327,23 +341,22 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, meta,
             for ref in (h1md, h2md, h3md, h1dc, h2dc, h3dc):
                 ref[...] = jnp.zeros((1, mp), jnp.int32)
 
-        a_l = meta_ref[d_id, 0]
-        a_u = meta_ref[d_id, 1]
-        a_ul = meta_ref[d_id, 2]
-        a_ur = meta_ref[d_id, 3]
+        is0 = l0_ref[0] != 0
 
-        def lane(x, amt):
-            return pltpu.roll(x, amt, axis=1)
+        def up_lane(x):
+            a = pltpu.roll(x, 1, axis=1)
+            b = pltpu.roll(x, wrap, axis=1)
+            return jnp.where(jnp.broadcast_to(is0, x.shape), b, a)
 
-        left8 = lane(h1rc[...], a_l)
-        l_md = lane(h1md[...], a_l)
-        l_dq = lane(h1dc[...], a_l)
-        ur_dq = lane(h1dc[...], a_ur)
-        up8 = lane(h2br[...], a_u)
-        u_md = lane(h2md[...], a_u)
-        u_dq = lane(h2dc[...], a_u)
-        ul_md = lane(h3md[...], a_ul)
-        ul_dq = lane(h3dc[...], a_ul)
+        left8 = h1rc[...]
+        l_md = h1md[...]
+        l_dq = h1dc[...]
+        ur_dq = up_lane(h1dc[...])
+        up8 = up_lane(h2br[...])
+        u_md = up_lane(h2md[...])
+        u_dq = up_lane(h2dc[...])
+        ul_md = up_lane(h3md[...])
+        ul_dq = up_lane(h3dc[...])
 
         hu = hu_ref[0] != 0
         hl = hl_ref[0] != 0
@@ -362,7 +375,7 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, meta,
         row0 = yx1 == 0
 
         # --- inverse transform chain ---
-        q = _mm(pizz_ref[...], _f32(srow_ref[0]), _HI).astype(jnp.int32)
+        q = srow_ref[0].astype(jnp.int32)               # i16 symbols in
         dc_pred = _dc_pred(kind, l_dq, ul_dq, u_dq, ur_dq)   # (1, Mp)
         iq = jnp.where(
             row0,
@@ -409,16 +422,16 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, meta,
             h2[...] = h1[...]
             h1[...] = new
 
-    row_spec = lambda r, dt=pltpu.VMEM: pl.BlockSpec((1, r, mp), lambda d: (d, 0, 0), memory_space=dt)
+    row_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
+    fix_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (0, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((64, 64), lambda d: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # meta
             row_spec(64), row_spec(1), row_spec(1),
-            row_spec(1), row_spec(1), row_spec(1),
-            mat_spec, mat_spec,
+            row_spec(1), row_spec(1), row_spec(1), fix_spec(1),
+            mat_spec,
         ],
         out_specs=row_spec(64),
         out_shape=jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.uint8),
@@ -429,27 +442,118 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, meta,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(meta, srows, frows, brows, hu_t, hl_t, kind_t, m_i, p_izz)
+    )(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t, m_i)
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_tables(gh: int, gw: int, f: int):
-    """Host-side constants for the fused kernel at one (grid, batch) shape:
-    lane-tiled availability/kind rows, rotate amounts, padded lane count."""
-    nsteps, nmax, _, _, _, shifts = diag_layout(gh, gw)
-    _, hu, hl, kind = _intra_lane_tables(gh, gw)
-    m = f * nmax
+    """Host-side constants for the fused kernels at one (grid, batch)
+    shape, lane layout m = f*NB + (gy mod NB) with NB = nmax:
+    (nsteps, NB, Mp, hu_t, hl_t, kind_t, lane0_t)."""
+    nsteps, nmax, _, _, _, _ = diag_layout(gh, gw)
+    nb = nmax
+    m = f * nb
     mp = -(-m // 128) * 128
+    kind_grid = luma_dc_kind(gh, gw)
+
+    hu = np.zeros((nsteps, nb), np.int32)
+    hl = np.zeros((nsteps, nb), np.int32)
+    kind = np.zeros((nsteps, nb), np.int32)
+    for d in range(nsteps):
+        lo = max(0, -(-(d - gw + 1) // 2))
+        hi = min(gh - 1, d // 2)
+        for gy in range(lo, hi + 1):
+            gx = d - 2 * gy
+            lane = gy % nb
+            hu[d, lane] = int(gy > 0)
+            hl[d, lane] = int(gx > 0)
+            kind[d, lane] = kind_grid[gy, gx]
 
     def tile(x):
         out = np.zeros((nsteps, 1, mp), np.int32)
-        out[:, 0, :m] = np.tile(x.astype(np.int32), (1, f))
+        out[:, 0, :m] = np.tile(x, (1, f))
         return out
 
-    meta = np.zeros((nsteps, 4), np.int32)
-    for i in range(4):
-        meta[:, i] = (-shifts[:, i]) % mp
-    return nsteps, nmax, mp, tile(hu), tile(hl), tile(kind), meta
+    lane0 = np.zeros((1, 1, mp), np.int32)
+    lane0[0, 0, :m] = (np.arange(m) % nb == 0).astype(np.int32)
+    return nsteps, nb, mp, tile(hu), tile(hl), tile(kind), lane0
+
+
+def _shear_pack(x, gh: int, gw: int, nb: int, mp: int):
+    """(F, gh, gw, C) -> (nsteps, C, Mp) diagonal rows at lane
+    m = f*NB + gy%NB, via pad + reshape (the shear trick) + group fold.
+    All relayouts are pad/reshape/transpose/reduce — no gathers."""
+    fdim, _, _, c = x.shape
+    nsteps = 2 * (gh - 1) + gw
+    ghp = -(-gh // nb) * nb
+    # row width L: padded rows' sheared reads must land in zero padding
+    # (L - 2*r >= gw for every padded row r), not in a real row's data
+    big_l = gw + 2 * ghp
+    x = jnp.pad(x, ((0, 0), (0, ghp - gh), (0, big_l - gw), (0, 0)))
+    # shear: re-view flat rows with width L-2 => row gy shifts left by 2*gy
+    x = x.reshape(fdim, ghp * big_l, c)[:, : ghp * (big_l - 2)]
+    x = x.reshape(fdim, ghp, big_l - 2, c)[:, :, :nsteps]
+    # fold gy -> gy mod NB: at most one diagonal cell per (step, residue),
+    # everything else is zero, so the group-sum is exact
+    x = x.reshape(fdim, ghp // nb, nb, nsteps, c)
+    x = x.sum(axis=1, dtype=x.dtype)                    # (F, NB, nsteps, C)
+    x = jnp.transpose(x, (2, 3, 0, 1)).reshape(nsteps, c, fdim * nb)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, mp - fdim * nb)))
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_maps(gh: int, gw: int, nb: int):
+    """(gy, gx) of the unique diagonal cell per (step, residue) — the
+    inverse of _unpack_maps (OOB entries -> cell (0,0), masked later)."""
+    nsteps = 2 * (gh - 1) + gw
+    gy_of = np.zeros((nsteps, nb), np.int64)
+    gx_of = np.zeros((nsteps, nb), np.int64)
+    for d in range(nsteps):
+        lo = max(0, -(-(d - gw + 1) // 2))
+        hi = min(gh - 1, d // 2)
+        for gy in range(lo, hi + 1):
+            gy_of[d, gy % nb] = gy
+            gx_of[d, gy % nb] = d - 2 * gy
+    return gy_of, gx_of
+
+
+def _rows_pack_gather(x, nb: int, mp: int):
+    """(F, gh, gw, C) -> (nsteps, C, Mp) diagonal rows via the transpose +
+    constant-map gather (the fast direction-mirror of _rows_unpack; used
+    for the wide decode inputs where the shear pack's i32 relayout chain
+    is pass-heavy)."""
+    fdim, gh, gw, c = x.shape
+    gy_of, gx_of = _pack_maps(gh, gw, nb)
+    xt = jnp.transpose(x, (1, 2, 0, 3))                 # (gh, gw, F, C)
+    rows = xt[gy_of, gx_of]                             # (nsteps, NB, F, C)
+    rows = jnp.transpose(rows, (0, 3, 2, 1)).reshape(rows.shape[0], c, fdim * nb)
+    return jnp.pad(rows, ((0, 0), (0, 0), (0, mp - fdim * nb)))
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_maps(gh: int, gw: int, nb: int):
+    step_of = np.zeros((gh, gw), np.int64)
+    lane_of = np.zeros((gh, gw), np.int64)
+    for gy in range(gh):
+        for gx in range(gw):
+            step_of[gy, gx] = 2 * gy + gx
+            lane_of[gy, gx] = gy % nb
+    return step_of, lane_of
+
+
+def _rows_unpack(rows, fdim: int, gh: int, gw: int, nb: int):
+    """(nsteps, C, Mp) diagonal rows -> (F, gh, gw, C) (or (F, gh, gw)
+    for C == 1 inputs squeezed by the caller).  Transpose + constant-map
+    gather: measured ~2-3x faster than the inverse reshape-shear on this
+    chip (the tile+unshear relayout chain is pass-heavy), and ~100x
+    faster than a multi-dim index-map gather, which XLA:TPU lowers
+    near-serially."""
+    nsteps, c, _ = rows.shape
+    step_of, lane_of = _unpack_maps(gh, gw, nb)
+    x = rows[:, :, : fdim * nb].reshape(nsteps, c, fdim, nb)
+    x = jnp.transpose(x, (0, 2, 3, 1))                  # (nsteps, F, NB, C)
+    out = x[step_of, :, lane_of]                        # (gh, gw, F, C)
+    return jnp.moveaxis(out, 2, 0)
 
 
 def intra_luma_scan_fused(orig: jnp.ndarray, qdc: int, qac: int,
@@ -471,31 +575,24 @@ def intra_luma_scan_fused(orig: jnp.ndarray, qdc: int, qac: int,
         # gw = W/8 with W % 16 == 0 is always even.
         raise ValueError("intra_luma_scan_fused requires an even block-grid "
                          f"width; got gw={gw}")
-    nsteps, nmax, mp, hu_t, hl_t, kind_t, meta = _fused_tables(gh, gw, fdim)
-    m = fdim * nmax
+    nsteps, nb, mp, hu_t, hl_t, kind_t, lane0 = _fused_tables(gh, gw, fdim)
 
-    # pack to frame-major diagonal lanes: (nsteps, yx, f*nmax + j)
-    orows = _pack_diag_nd(orig.astype(jnp.uint8), gh, gw)  # (nsteps,F,nmax,8,8)
-    orows = jnp.transpose(orows, (0, 3, 4, 1, 2)).reshape(nsteps, 64, m)
-    orows = jnp.pad(orows, ((0, 0), (0, 0), (0, mp - m)))
-
-    # numpy (not jnp) constants: trace-time device constants stall
+    orows = _shear_pack(
+        orig.reshape(fdim, gh, gw, 64).astype(jnp.uint8), gh, gw, nb, mp
+    )
+    # numpy (not jnp) table constants: trace-time device constants stall
     # lowering through the axon tunnel (CLAUDE.md)
-    rec, sc, flag, bit = _intra_rows_fused(
-        orows, hu_t, hl_t, kind_t, meta, qdc, qac,
+    rec, q, flag, bit = _intra_rows_fused(
+        orows, hu_t, hl_t, kind_t, lane0, nb, qdc, qac,
         _table_key(np.asarray(table)), interpret,
     )
-
-    def unpack(rows, lanes):
-        x = rows[:, :, :m].reshape(rows.shape[0], lanes, fdim, nmax)
-        x = jnp.transpose(x, (0, 2, 3, 1))              # (nsteps, F, nmax, L)
-        return _unpack_diag_nd(x, gh, gw)
-
+    qg = _rows_unpack(q, fdim, gh, gw, nb)              # (F, gh, gw, 64)
     return dict(
-        recon=unpack(rec.astype(jnp.int32), 64).reshape(fdim, gh, gw, 8, 8),
-        scan=unpack(sc, 64),
-        mpm=unpack(flag, 1)[..., 0],
-        mode_bit=unpack(bit, 1)[..., 0],
+        recon=_rows_unpack(rec, fdim, gh, gw, nb)
+        .astype(jnp.int32).reshape(fdim, gh, gw, 8, 8),
+        scan=zigzag(qg.astype(jnp.int32).reshape(fdim, gh, gw, 8, 8)),
+        mpm=_rows_unpack(flag, fdim, gh, gw, nb)[..., 0],
+        mode_bit=_rows_unpack(bit, fdim, gh, gw, nb)[..., 0],
     )
 
 
@@ -504,8 +601,9 @@ def intra_luma_decode_fused(y_scan: jnp.ndarray, mpm: jnp.ndarray,
                             table, dtype=jnp.float32,
                             interpret: bool = False):
     """Fused-pallas intra luma DECODER: zig-zag symbols -> reconstructed
-    blocks in one kernel (izigzag + dequant + inverse DC chain + IDCT +
-    pixel wavefront).  Bit-identical to the XLA composition in
+    blocks in one kernel (dequant + inverse DC chain + IDCT + pixel
+    wavefront; the inverse zig-zag runs on the grid before packing).
+    Bit-identical to the XLA composition in
     engine.intra.decode_intra_frames on the fast f32 path.
 
     y_scan: (F, gh, gw, 64) int; mpm/mode_bit: (F, gh, gw) int.
@@ -517,22 +615,21 @@ def intra_luma_decode_fused(y_scan: jnp.ndarray, mpm: jnp.ndarray,
     if gw % 2:
         raise ValueError("intra_luma_decode_fused requires an even "
                          f"block-grid width; got gw={gw}")
-    nsteps, nmax, mp, hu_t, hl_t, kind_t, meta = _fused_tables(gh, gw, fdim)
-    m = fdim * nmax
+    nsteps, nb, mp, hu_t, hl_t, kind_t, lane0 = _fused_tables(gh, gw, fdim)
 
-    def pack(x, lanes, dt):
-        rows = _pack_diag_nd(x.astype(dt).reshape(fdim, gh, gw, lanes), gh, gw)
-        rows = jnp.transpose(rows, (0, 3, 1, 2)).reshape(nsteps, lanes, m)
-        return jnp.pad(rows, ((0, 0), (0, 0), (0, mp - m)))
-
-    srows = pack(y_scan, 64, jnp.int32)
-    frows = pack(mpm[..., None], 1, jnp.int32)
-    brows = pack(mode_bit[..., None], 1, jnp.int32)
-
+    # symbols travel as i16 (|q| <= ~2048): halves the packed stream
+    q = izigzag(jnp.asarray(y_scan)).astype(jnp.int16)  # (F, gh, gw, 8, 8)
+    srows = _rows_pack_gather(q.reshape(fdim, gh, gw, 64), nb, mp)
+    frows = _shear_pack(
+        jnp.asarray(mpm).astype(jnp.int32)[..., None], gh, gw, nb, mp
+    )
+    brows = _shear_pack(
+        jnp.asarray(mode_bit).astype(jnp.int32)[..., None], gh, gw, nb, mp
+    )
     rec = _intra_decode_rows_fused(
-        srows, frows, brows, hu_t, hl_t, kind_t, meta, qdc, qac,
+        srows, frows, brows, hu_t, hl_t, kind_t, lane0, nb, qdc, qac,
         _table_key(np.asarray(table)), interpret,
     )
-    x = rec[:, :, :m].astype(jnp.int32).reshape(nsteps, 64, fdim, nmax)
-    x = jnp.transpose(x, (0, 2, 3, 1))
-    return _unpack_diag_nd(x, gh, gw).reshape(fdim, gh, gw, 8, 8)
+    return _rows_unpack(rec, fdim, gh, gw, nb).astype(jnp.int32).reshape(
+        fdim, gh, gw, 8, 8
+    )

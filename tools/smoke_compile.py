@@ -58,26 +58,29 @@ def intra_fused_cases(w: int, h: int):
     fs = (300, 30) if (w, h) == (352, 288) else (30,)
     cases = []
     for f in fs:
-        nsteps, nmax, mp, hu, hl, kind, meta = pin._fused_tables(gh, gw, f)
-        args = (
-            _s((nsteps, 64, mp)),
+        nsteps, nb, mp, hu, hl, kind, lane0 = pin._fused_tables(gh, gw, f)
+        tabs = (
             _s((nsteps, 1, mp), jnp.int32),
             _s((nsteps, 1, mp), jnp.int32),
             _s((nsteps, 1, mp), jnp.int32),
-            _s((nsteps, 4), jnp.int32),
+            _s((1, 1, mp), jnp.int32),
         )
-        fn = lambda *a: pin._intra_rows_fused(*a, qdc=16, qac=16, table_key="enc")
-        cases.append((f"intra_fused_f{f}", jax.jit(fn), args))
+        args = (_s((nsteps, 64, mp)),) + tabs
+        fn = lambda nb: (lambda *a: pin._intra_rows_fused(
+            *a, nb=nb, qdc=16, qac=16, table_key="enc"))
+        cases.append((f"intra_fused_f{f}", jax.jit(fn(nb)), args))
         # non-pow2 qp exercises the f32-reciprocal C division lowering
-        fn10 = lambda *a: pin._intra_rows_fused(*a, qdc=10, qac=12, table_key="enc")
-        cases.append((f"intra_fused_f{f}_q10", jax.jit(fn10), args))
+        fn10 = lambda nb: (lambda *a: pin._intra_rows_fused(
+            *a, nb=nb, qdc=10, qac=12, table_key="enc"))
+        cases.append((f"intra_fused_f{f}_q10", jax.jit(fn10(nb)), args))
         dargs = (
-            _s((nsteps, 64, mp), jnp.int32),
+            _s((nsteps, 64, mp), jnp.int16),
             _s((nsteps, 1, mp), jnp.int32),
             _s((nsteps, 1, mp), jnp.int32),
-        ) + args[1:]
-        fnd = lambda *a: pin._intra_decode_rows_fused(*a, qdc=16, qac=16, table_key="dec")
-        cases.append((f"intra_dec_fused_f{f}", jax.jit(fnd), dargs))
+        ) + tabs
+        fnd = lambda nb: (lambda *a: pin._intra_decode_rows_fused(
+            *a, nb=nb, qdc=16, qac=16, table_key="dec"))
+        cases.append((f"intra_dec_fused_f{f}", jax.jit(fnd(nb)), dargs))
     return cases
 
 
