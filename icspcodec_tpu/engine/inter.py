@@ -122,9 +122,17 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
     resid8 = to_blocks(cur_y.astype(jnp.int32) - predf)
 
     d = fdct(resid8, table=table, dtype=dtype)
-    q_dc, dq_dc = dc_dpcm_scan(
-        d[..., 0, 0], luma_dc_kind(gh, gw), qdc, chroma=False
-    )
+    if me != "xla" and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_dc import dc_dpcm_fused
+
+        q_dc, dq_dc = dc_dpcm_fused(
+            d[..., 0, 0], qdc, chroma=False,
+            interpret=(me == "pallas_interpret"),
+        )
+    else:
+        q_dc, dq_dc = dc_dpcm_scan(
+            d[..., 0, 0], luma_dc_kind(gh, gw), qdc, chroma=False
+        )
     q = quant_block(d, qdc, qac, chroma=False)
     q = q.at[..., 0, 0].set(q_dc)
     sc = zigzag(q)
@@ -147,7 +155,7 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
     # (predcf computed above alongside the luma predictor)
     planes = jnp.concatenate([cur_cb, cur_cr])
     err = to_blocks(planes).astype(jnp.int32) - to_blocks(predcf)
-    c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype)
+    c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype, me=me)
     # recon = clamp((int)(pad_pixel + idct)): double sum, trunc to zero
     rec = jnp.clip(c_trunc(predcf.astype(dtype) + from_blocks(c["idct"])), 0, 255)
     for i, name in enumerate(("cb", "cr")):
@@ -288,7 +296,13 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     mv = sym["mv"] if "mv" in sym else mv_reconstruct_scan(sym["mv_diff"])
     q = izigzag(sym["y_scan"])
     iq = dequant_block(q, qdc, qac)
-    dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
+    if me not in ("xla",) and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_dc import dc_dpcm_fused, idc_dpcm_fused
+
+        _interp = me == "pallas_interpret"
+        dq_dc = idc_dpcm_fused(iq[..., 0, 0], chroma=False, interpret=_interp)
+    else:
+        dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
     iq = iq.at[..., 0, 0].set(dq_dc)
     inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
     pad = pad_image(prev_y, 16)
@@ -330,14 +344,20 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     recon_y = jnp.clip(predf + inv_f, 0, 255).astype(jnp.uint8)
 
     out = dict(y=recon_y)
-    for i, name in enumerate(("cb", "cr")):
-        qc = izigzag(sym[f"{name}_scan"])
-        iqc = dequant_block(qc, qdc, qac)
-        ch, cw = qc.shape[1:3]
+    # Cb and Cr share the inverse chain: one batch, one DC scan/kernel
+    qc = izigzag(jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]))
+    iqc = dequant_block(qc, qdc, qac)
+    ch, cw = qc.shape[1:3]
+    if me not in ("xla",) and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_dc import idc_dpcm_fused
+
+        dqc = idc_dpcm_fused(
+            iqc[..., 0, 0], chroma=True, interpret=(me == "pallas_interpret")
+        )
+    else:
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
-        iqc = iqc.at[..., 0, 0].set(dqc)
-        rc = from_blocks(idct(iqc, table=table, dtype=dtype))
-        pred_pl = predcf[i * f:(i + 1) * f]
-        rec = jnp.clip(c_trunc(pred_pl.astype(dtype) + rc), 0, 255)
-        out[name] = rec.astype(jnp.uint8)
+    iqc = iqc.at[..., 0, 0].set(dqc)
+    rc = from_blocks(idct(iqc, table=table, dtype=dtype))
+    rec = jnp.clip(c_trunc(predcf.astype(dtype) + rc), 0, 255).astype(jnp.uint8)
+    out["cb"], out["cr"] = rec[:f], rec[f:]
     return out

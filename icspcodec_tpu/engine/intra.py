@@ -40,12 +40,15 @@ def from_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(blocks.shape[:-4] + (gh * bs, gw * bs))
 
 
-def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64):
+def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, me: str = "xla"):
     """Forward chroma chain for (F, H, W) pixel planes (intra: raw pixels)
     or (F, gh, gw, 8, 8) residual blocks (inter).
 
     Returns dict(scan, acflag, idct) — idct is the float inverse-DCT
-    output; callers finish reconstruction their own way."""
+    output; callers finish reconstruction their own way.
+
+    me: "pallas"/"pallas_interpret" run the sequential DC-DPCM chain as
+    one fused kernel (ops/pallas_dc.py) on the fast f32 path."""
     if planes.ndim == 3:
         blocks = to_blocks(planes).astype(jnp.int32)
     else:
@@ -53,7 +56,15 @@ def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, 
     fdim, ch, cw = blocks.shape[:3]
     d = fdct(blocks, table=table, dtype=dtype)
     kind = chroma_dc_kind(ch, cw)
-    q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
+    if me != "xla" and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_dc import dc_dpcm_fused
+
+        q_dc, dq_dc = dc_dpcm_fused(
+            d[..., 0, 0], qdc, chroma=True,
+            interpret=(me == "pallas_interpret"),
+        )
+    else:
+        q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
     q = quant_block(d, qdc, qac, chroma=True)
     q = q.at[..., 0, 0].set(q_dc)
     sc = zigzag(q)
@@ -101,7 +112,7 @@ def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: i
     # Cb and Cr share the chain; stack them into one batch (one DC scan)
     f = cb.shape[0]
     c = encode_chroma_batch(
-        jnp.concatenate([cb, cr]), qdc, qac, table=table, dtype=dtype
+        jnp.concatenate([cb, cr]), qdc, qac, table=table, dtype=dtype, me=me
     )
     # intra chroma recon = clamp((int)idct) (intraImgReconstruct
     # enc src:1944-1960: truncation toward zero, then clamp)
@@ -147,12 +158,20 @@ def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table
         r = idct(iq, table=table, dtype=dtype)
         recon = intra_luma_decode_scan_packed(r, mpm, mode_bit, dtype=dtype)
     out = dict(y=from_blocks(recon).astype(jnp.uint8))
-    for name, scan in (("cb", cb_scan), ("cr", cr_scan)):
-        qc = izigzag(scan)
-        iqc = dequant_block(qc, qdc, qac)
-        ch, cw = qc.shape[1:3]
+    # Cb and Cr share the inverse chain: one batch, one DC scan/kernel
+    f = cb_scan.shape[0]
+    qc = izigzag(jnp.concatenate([cb_scan, cr_scan]))
+    iqc = dequant_block(qc, qdc, qac)
+    ch, cw = qc.shape[1:3]
+    if me != "xla" and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_dc import idc_dpcm_fused
+
+        dqc = idc_dpcm_fused(
+            iqc[..., 0, 0], chroma=True, interpret=(me == "pallas_interpret")
+        )
+    else:
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
-        iqc = iqc.at[..., 0, 0].set(dqc)
-        rc = idct(iqc, table=table, dtype=dtype)
-        out[name] = from_blocks(jnp.clip(c_trunc(rc), 0, 255).astype(jnp.uint8))
+    iqc = iqc.at[..., 0, 0].set(dqc)
+    rc = from_blocks(jnp.clip(c_trunc(idct(iqc, table=table, dtype=dtype)), 0, 255).astype(jnp.uint8))
+    out["cb"], out["cr"] = rc[:f], rc[f:]
     return out

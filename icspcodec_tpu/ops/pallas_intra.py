@@ -518,14 +518,16 @@ def _pack_maps(gh: int, gw: int, nb: int):
 
 
 def _rows_pack_gather(x, nb: int, mp: int):
-    """(F, gh, gw, C) -> (nsteps, C, Mp) diagonal rows via the transpose +
-    constant-map gather (the fast direction-mirror of _rows_unpack; used
-    for the wide decode inputs where the shear pack's i32 relayout chain
-    is pass-heavy)."""
+    """(F, gh, gw, C) -> (nsteps, C, Mp) diagonal rows via transpose +
+    a SINGLE-AXIS constant-map take (the fast direction-mirror of
+    _rows_unpack; used for the wide decode inputs where the shear pack's
+    i32 relayout chain is pass-heavy).  Flattened one-axis takes only:
+    XLA:TPU's multi-axis gather hard-crashed the TPU worker at 720p
+    shapes (in-bounds indices — a backend fault, not OOB)."""
     fdim, gh, gw, c = x.shape
     gy_of, gx_of = _pack_maps(gh, gw, nb)
-    xt = jnp.transpose(x, (1, 2, 0, 3))                 # (gh, gw, F, C)
-    rows = xt[gy_of, gx_of]                             # (nsteps, NB, F, C)
+    xt = jnp.transpose(x, (1, 2, 0, 3)).reshape(gh * gw, fdim, c)
+    rows = jnp.take(xt, gy_of * gw + gx_of, axis=0)     # (nsteps, NB, F, C)
     rows = jnp.transpose(rows, (0, 3, 2, 1)).reshape(rows.shape[0], c, fdim * nb)
     return jnp.pad(rows, ((0, 0), (0, 0), (0, mp - fdim * nb)))
 
@@ -542,17 +544,18 @@ def _unpack_maps(gh: int, gw: int, nb: int):
 
 
 def _rows_unpack(rows, fdim: int, gh: int, gw: int, nb: int):
-    """(nsteps, C, Mp) diagonal rows -> (F, gh, gw, C) (or (F, gh, gw)
-    for C == 1 inputs squeezed by the caller).  Transpose + constant-map
-    gather: measured ~2-3x faster than the inverse reshape-shear on this
-    chip (the tile+unshear relayout chain is pass-heavy), and ~100x
-    faster than a multi-dim index-map gather, which XLA:TPU lowers
-    near-serially."""
+    """(nsteps, C, Mp) diagonal rows -> (F, gh, gw, C).  Transpose +
+    SINGLE-AXIS constant-map take: measured ~2-3x faster than the
+    inverse reshape-shear on this chip (the tile+unshear relayout chain
+    is pass-heavy) and ~100x faster than a multi-dim index-map gather,
+    which XLA:TPU lowers near-serially.  Flattened one-axis takes only:
+    the two-axis form (advanced indices split around a slice) hard-
+    crashed the TPU worker at 720p shapes despite in-bounds indices."""
     nsteps, c, _ = rows.shape
     step_of, lane_of = _unpack_maps(gh, gw, nb)
     x = rows[:, :, : fdim * nb].reshape(nsteps, c, fdim, nb)
-    x = jnp.transpose(x, (0, 2, 3, 1))                  # (nsteps, F, NB, C)
-    out = x[step_of, :, lane_of]                        # (gh, gw, F, C)
+    x = jnp.transpose(x, (0, 3, 2, 1)).reshape(nsteps * nb, fdim, c)
+    out = jnp.take(x, step_of * nb + lane_of, axis=0)   # (gh, gw, F, C)
     return jnp.moveaxis(out, 2, 0)
 
 

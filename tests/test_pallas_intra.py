@@ -97,6 +97,37 @@ def test_decode_fused_equals_xla(f, gh, gw, qdc, qac):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize(
+    "f,gh,gw,qstep,chroma",
+    [
+        (4, 18, 22, 16, True),    # CIF chroma grid
+        (3, 9, 11, 10, True),     # odd-width chroma grid (QCIF), non-pow2 qp
+        (2, 36, 44, 8, False),    # CIF luma grid (inter DC chain)
+        (5, 4, 6, 1, True),       # qstep 1
+    ],
+)
+def test_dc_chain_fused_equals_scan(f, gh, gw, qstep, chroma):
+    """Fused DC-DPCM chain (ops/pallas_dc.py) == the XLA packed scan,
+    forward (both rounding regimes) and inverse."""
+    from icspcodec_tpu.engine.wavefront import (
+        chroma_dc_kind, dc_dpcm_scan, idc_dpcm_scan, luma_dc_kind,
+    )
+    from icspcodec_tpu.ops.pallas_dc import dc_dpcm_fused, idc_dpcm_fused
+
+    r = np.random.default_rng(f * 10 + gh)
+    dc = jnp.asarray(r.uniform(-2000, 2000, (f, gh, gw)).astype(np.float32))
+    kind = (chroma_dc_kind if chroma else luma_dc_kind)(gh, gw)
+    q_ref, dq_ref = dc_dpcm_scan(dc, kind, qstep, chroma=chroma)
+    q_got, dq_got = dc_dpcm_fused(dc, qstep, chroma=chroma, interpret=True)
+    np.testing.assert_array_equal(np.asarray(q_got), np.asarray(q_ref))
+    np.testing.assert_array_equal(np.asarray(dq_got), np.asarray(dq_ref))
+
+    iq = jnp.asarray(r.integers(-2000, 2000, (f, gh, gw), np.int32))
+    idq_ref = idc_dpcm_scan(iq, kind)
+    idq_got = idc_dpcm_fused(iq, chroma=chroma, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idq_got), np.asarray(idq_ref))
+
+
 def test_decode_fused_through_engine():
     from icspcodec_tpu.constants import COS_DEC
     from icspcodec_tpu.engine.intra import decode_intra_frames, encode_intra_frames

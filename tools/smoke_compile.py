@@ -81,6 +81,30 @@ def intra_fused_cases(w: int, h: int):
         fnd = lambda nb: (lambda *a: pin._intra_decode_rows_fused(
             *a, nb=nb, qdc=16, qac=16, table_key="dec"))
         cases.append((f"intra_dec_fused_f{f}", jax.jit(fnd(nb)), dargs))
+
+    # fused DC-DPCM chains (ops/pallas_dc.py): chroma grid fwd (floor
+    # regime, incl. non-pow2 qp) + luma grid fwd/inverse
+    from icspcodec_tpu.ops import pallas_dc as pdc
+
+    f = fs[0]
+    for tag, cgh, cgw, chroma, inv, qs in (
+        ("dc_fwd_chroma", gh // 2, gw // 2, True, False, 16),
+        ("dc_fwd_chroma_q10", gh // 2, gw // 2, True, False, 10),
+        ("dc_fwd_luma", gh, gw, False, False, 16),
+        ("dc_inv_luma", gh, gw, False, True, 16),
+    ):
+        # chroma stacks cb+cr: 2f frames
+        ff = 2 * f if chroma else f
+        nsteps, nb, mp, kind, lane0 = pdc._dc_tables(cgh, cgw, ff, chroma)
+        dt = jnp.int32 if inv else jnp.float32
+        dargs = (
+            _s((nsteps, 1, mp), dt),
+            _s((nsteps, 1, mp), jnp.int32),
+            _s((1, 1, mp), jnp.int32),
+        )
+        fn = lambda nb, qs, chroma, inv: (lambda *a: pdc._dc_rows_fused(
+            *a, nb=nb, qstep=qs, chroma=chroma, inverse=inv))
+        cases.append((f"{tag}_f{f}", jax.jit(fn(nb, qs, chroma, inv)), dargs))
     return cases
 
 
