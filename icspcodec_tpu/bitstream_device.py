@@ -53,9 +53,10 @@ def vlc_encode_dev(values: jnp.ndarray):
     x = values.astype(jnp.int32)
     v = jnp.abs(x)
     sign = (x >= 0).astype(jnp.uint32)
-    exp = jnp.zeros(v.shape, jnp.int32)
-    for k in range(1, 22):  # floor(log2(v)) for v >= 2; 0 otherwise
-        exp = exp + (v >= (1 << k)).astype(jnp.int32)
+    # floor(log2(v)) for v >= 2, else 0 — one count-leading-zeros pass
+    # (the threshold-counting loop this replaces cost 21 full passes
+    # over the coefficient array, ~2.5 GB of HBM traffic per CIF300)
+    exp = jnp.where(v >= 2, 31 - jax.lax.clz(jnp.maximum(v, 1)), 0)
     expu = exp.astype(jnp.uint32)
     payload = v.astype(jnp.uint32) - (jnp.uint32(1) << expu)
 

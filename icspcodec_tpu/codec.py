@@ -115,33 +115,37 @@ def _encode_gop_jit(y, cb, cr, qdc, qac, exact, me="xla"):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
-def _encode_intra_items_jit(y, cb, cr, qdc, qac, exact, me="xla"):
+@functools.partial(
+    jax.jit, static_argnames=("qdc", "qac", "exact", "me", "want_recon")
+)
+def _encode_intra_items_jit(y, cb, cr, qdc, qac, exact, me="xla",
+                            want_recon=True):
     from .bitstream_device import frame_items_dev
-    from .engine.intra import _acflag_from_scan
 
     dt = jnp.float64 if exact else jnp.float32
-    out = encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
-    sym = {k: out[k] for k in _INTRA_KEYS}
-    sym["y_acflag"] = _acflag_from_scan(out["y_scan"])
+    out = encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt,
+                              me=me, return_recon=want_recon)
+    sym = {k: out[k] for k in _INTRA_KEYS + ("y_acflag",)}
     codes, lengths = frame_items_dev(sym, True)
-    return codes, lengths, (out["recon_y"], out["recon_cb"], out["recon_cr"])
+    recons = (
+        (out["recon_y"], out["recon_cb"], out["recon_cr"])
+        if want_recon else None
+    )
+    return codes, lengths, recons
 
 
 @functools.partial(jax.jit, static_argnames=("qdc", "qac", "exact", "me"))
 def _encode_gop_items_jit(y, cb, cr, qdc, qac, exact, me="xla"):
     from .bitstream_device import frame_items_dev
-    from .engine.intra import _acflag_from_scan
 
     dt = jnp.float64 if exact else jnp.float32
     intra, inter = encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
-    isym = {k: intra[k] for k in _INTRA_KEYS}
-    isym["y_acflag"] = _acflag_from_scan(intra["y_scan"])
+    isym = {k: intra[k] for k in _INTRA_KEYS + ("y_acflag",)}
     ci, li = frame_items_dev(isym, True)
     psym = {
-        k: inter[k].reshape((-1,) + inter[k].shape[2:]) for k in _INTER_KEYS
+        k: inter[k].reshape((-1,) + inter[k].shape[2:])
+        for k in _INTER_KEYS + ("y_acflag",)
     }
-    psym["y_acflag"] = _acflag_from_scan(psym["y_scan"])
     cp, lp = frame_items_dev(psym, False)
     recons = (
         (intra["recon_y"], intra["recon_cb"], intra["recon_cr"]),
@@ -196,7 +200,8 @@ def _encode_device_entropy(y, cb, cr, cfg: CodecConfig, return_recon: bool):
     with _device_for(exact):
         if eff == 1:
             ci, li, recon_t = _encode_intra_items_jit(
-                y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact)
+                y, cb, cr, cfg.qp_dc, cfg.qp_ac, exact, me=_me_impl(exact),
+                want_recon=return_recon,
             )
             r, b = _pack_bucketed(ci, li)
             for n in range(nf):
@@ -217,7 +222,7 @@ def _encode_device_entropy(y, cb, cr, cfg: CodecConfig, return_recon: bool):
                 if p == 1:
                     ci, li, recon_t = _encode_intra_items_jit(
                         yb[:, 0], cbb[:, 0], crb[:, 0], cfg.qp_dc, cfg.qp_ac, exact,
-                        me=_me_impl(exact)
+                        me=_me_impl(exact), want_recon=return_recon,
                     )
                     r, b = _pack_bucketed(ci, li)
                     for j, n in enumerate(idx[:, 0]):

@@ -121,32 +121,40 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
         )
     resid8 = to_blocks(cur_y.astype(jnp.int32) - predf)
 
-    d = fdct(resid8, table=table, dtype=dtype)
     if me != "xla" and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_dc import dc_dpcm_fused
+        from ..ops.pallas_xform import xform_fwd_fused
 
-        q_dc, dq_dc = dc_dpcm_fused(
-            d[..., 0, 0], qdc, chroma=False,
+        # whole residual chain (DCT, DC-DPCM, quant, zig-zag, dequant,
+        # IDCT+(int) cast, acflag) as ONE kernel; bit-identical
+        xf = xform_fwd_fused(
+            resid8, qdc, qac, chroma=False, table=table,
             interpret=(me == "pallas_interpret"),
         )
+        sc = xf["scan"]
+        acf = xf["acflag"]
+        # mergeBlock INTER casts the double IDCT to int (enc src:4812) —
+        # the kernel already emitted trunc(idct)
+        recon_y = jnp.clip(predf + from_blocks(xf["r"]), 0, 255).astype(jnp.uint8)
     else:
+        d = fdct(resid8, table=table, dtype=dtype)
         q_dc, dq_dc = dc_dpcm_scan(
             d[..., 0, 0], luma_dc_kind(gh, gw), qdc, chroma=False
         )
-    q = quant_block(d, qdc, qac, chroma=False)
-    q = q.at[..., 0, 0].set(q_dc)
-    sc = zigzag(q)
-    iq = dequant_block(q, qdc, qac)
-    iq = iq.at[..., 0, 0].set(dq_dc)
-    r = idct(iq, table=table, dtype=dtype)
-    # mergeBlock INTER casts the double IDCT to int (enc src:4812)
-    recon_y = jnp.clip(predf + from_blocks(c_trunc(r)), 0, 255).astype(jnp.uint8)
+        q = quant_block(d, qdc, qac, chroma=False)
+        q = q.at[..., 0, 0].set(q_dc)
+        sc = zigzag(q)
+        acf = _acflag_from_scan(sc)
+        iq = dequant_block(q, qdc, qac)
+        iq = iq.at[..., 0, 0].set(dq_dc)
+        r = idct(iq, table=table, dtype=dtype)
+        # mergeBlock INTER casts the double IDCT to int (enc src:4812)
+        recon_y = jnp.clip(predf + from_blocks(c_trunc(r)), 0, 255).astype(jnp.uint8)
 
     mv_diff = mv_diff_field(mv)
     out = dict(
         recon_y=recon_y,
         y_scan=sc.astype(jnp.int16),
-        y_acflag=_acflag_from_scan(sc).astype(jnp.int8),
+        y_acflag=acf.astype(jnp.int8),
         mv_diff=mv_diff.astype(jnp.int16),
     )
 
@@ -294,17 +302,22 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     h, w = gh * 8, gw * 8
     f = prev_cb.shape[0]
     mv = sym["mv"] if "mv" in sym else mv_reconstruct_scan(sym["mv_diff"])
-    q = izigzag(sym["y_scan"])
-    iq = dequant_block(q, qdc, qac)
     if me not in ("xla",) and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_dc import dc_dpcm_fused, idc_dpcm_fused
+        from ..ops.pallas_xform import xform_inv_fused
 
         _interp = me == "pallas_interpret"
-        dq_dc = idc_dpcm_fused(iq[..., 0, 0], chroma=False, interpret=_interp)
+        # inverse zig-zag + dequant + inverse DC chain + IDCT + (int)
+        # cast as ONE kernel
+        inv_f = from_blocks(xform_inv_fused(
+            sym["y_scan"], qdc, qac, chroma=False, table=table,
+            interpret=_interp,
+        ))
     else:
+        q = izigzag(sym["y_scan"])
+        iq = dequant_block(q, qdc, qac)
         dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
-    iq = iq.at[..., 0, 0].set(dq_dc)
-    inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
+        iq = iq.at[..., 0, 0].set(dq_dc)
+        inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
     pad = pad_image(prev_y, 16)
     padc = pad_image(jnp.concatenate([prev_cb, prev_cr]), 8)
     if me == "xla":
@@ -344,20 +357,24 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     recon_y = jnp.clip(predf + inv_f, 0, 255).astype(jnp.uint8)
 
     out = dict(y=recon_y)
-    # Cb and Cr share the inverse chain: one batch, one DC scan/kernel
-    qc = izigzag(jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]))
-    iqc = dequant_block(qc, qdc, qac)
-    ch, cw = qc.shape[1:3]
+    # Cb and Cr share the inverse chain: one batch, one kernel/scan
     if me not in ("xla",) and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_dc import idc_dpcm_fused
+        from ..ops.pallas_xform import xform_inv_fused
 
-        dqc = idc_dpcm_fused(
-            iqc[..., 0, 0], chroma=True, interpret=(me == "pallas_interpret")
-        )
+        rc = from_blocks(xform_inv_fused(
+            jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]),
+            qdc, qac, chroma=True, table=table,
+            interpret=(me == "pallas_interpret"),
+        ))
     else:
+        qc = izigzag(jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]))
+        iqc = dequant_block(qc, qdc, qac)
+        ch, cw = qc.shape[1:3]
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
-    iqc = iqc.at[..., 0, 0].set(dqc)
-    rc = from_blocks(idct(iqc, table=table, dtype=dtype))
+        iqc = iqc.at[..., 0, 0].set(dqc)
+        rc = from_blocks(idct(iqc, table=table, dtype=dtype))
+    # the predictor is added BEFORE the (int) cast (f32 addition may
+    # round across an integer boundary — the kernel emits raw f32)
     rec = jnp.clip(c_trunc(predcf.astype(dtype) + rc), 0, 255).astype(jnp.uint8)
     out["cb"], out["cr"] = rec[:f], rec[f:]
     return out

@@ -47,24 +47,25 @@ def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, 
     Returns dict(scan, acflag, idct) — idct is the float inverse-DCT
     output; callers finish reconstruction their own way.
 
-    me: "pallas"/"pallas_interpret" run the sequential DC-DPCM chain as
-    one fused kernel (ops/pallas_dc.py) on the fast f32 path."""
+    me: "pallas"/"pallas_interpret" run the ENTIRE chain (DCT, DC-DPCM,
+    quant, zig-zag, dequant, IDCT, acflag) as one fused kernel
+    (ops/pallas_xform.py) on the fast f32 path — identical bits."""
     if planes.ndim == 3:
         blocks = to_blocks(planes).astype(jnp.int32)
     else:
         blocks = planes
     fdim, ch, cw = blocks.shape[:3]
-    d = fdct(blocks, table=table, dtype=dtype)
-    kind = chroma_dc_kind(ch, cw)
     if me != "xla" and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_dc import dc_dpcm_fused
+        from ..ops.pallas_xform import xform_fwd_fused
 
-        q_dc, dq_dc = dc_dpcm_fused(
-            d[..., 0, 0], qdc, chroma=True,
+        out = xform_fwd_fused(
+            blocks, qdc, qac, chroma=True, table=table,
             interpret=(me == "pallas_interpret"),
         )
-    else:
-        q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
+        return dict(scan=out["scan"], acflag=out["acflag"], idct=out["r"])
+    d = fdct(blocks, table=table, dtype=dtype)
+    kind = chroma_dc_kind(ch, cw)
+    q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
     q = quant_block(d, qdc, qac, chroma=True)
     q = q.at[..., 0, 0].set(q_dc)
     sc = zigzag(q)
@@ -75,11 +76,13 @@ def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, 
     return dict(scan=sc, acflag=acf, idct=r)
 
 
-def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, me: str = "xla"):
+def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, me: str = "xla", return_recon: bool = True):
     """Encode a batch of intra frames.
 
     y: (F, H, W) uint8; cb/cr: (F, H/2, W/2) uint8.
-    Returns dict of recon planes + all bitstream symbols.
+    Returns dict of all bitstream symbols, plus the recon planes when
+    return_recon=True (the bitstream path doesn't need them; skipping
+    drops the recon relayout/output work entirely).
 
     me: implementation selector (same vocabulary as the inter engine):
     "xla" runs the packed-diagonal XLA scan; "pallas" /
@@ -95,32 +98,46 @@ def encode_intra_frames(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, qdc: i
     if me != "xla" and dtype in (jnp.float32, np.float32):
         from ..ops.pallas_intra import intra_luma_scan_fused
 
+        # zig-zag + acflag run in-kernel; recon comes back (if at all)
+        # as ready uint8 planes — no grid-shaped intermediates
         lum = intra_luma_scan_fused(
             orig, qdc, qac, table=table, dtype=dtype,
             interpret=(me == "pallas_interpret"),
+            want_recon=return_recon, recon_plane=True,
         )
+        out = dict(
+            y_scan=lum["scan"],                          # i16, zig-zag
+            y_acflag=lum["acflag"].astype(jnp.int8),
+            mpm=lum["mpm"].astype(jnp.int8),
+            mode_bit=lum["mode_bit"].astype(jnp.int8),
+        )
+        if return_recon:
+            out["recon_y"] = lum["recon_plane"]
     else:
         lum = intra_luma_scan_packed(orig, qdc, qac, table=table, dtype=dtype)
-    # symbols travel device->host: narrow dtypes halve the transfer
-    out = dict(
-        recon_y=from_blocks(lum["recon"]).astype(jnp.uint8),
-        y_scan=lum["scan"].astype(jnp.int16),
-        y_acflag=_acflag_from_scan(lum["scan"]).astype(jnp.int8),
-        mpm=lum["mpm"].astype(jnp.int8),
-        mode_bit=lum["mode_bit"].astype(jnp.int8),
-    )
+        # symbols travel device->host: narrow dtypes halve the transfer
+        out = dict(
+            y_scan=lum["scan"].astype(jnp.int16),
+            y_acflag=_acflag_from_scan(lum["scan"]).astype(jnp.int8),
+            mpm=lum["mpm"].astype(jnp.int8),
+            mode_bit=lum["mode_bit"].astype(jnp.int8),
+        )
+        if return_recon:
+            out["recon_y"] = from_blocks(lum["recon"]).astype(jnp.uint8)
     # Cb and Cr share the chain; stack them into one batch (one DC scan)
     f = cb.shape[0]
     c = encode_chroma_batch(
         jnp.concatenate([cb, cr]), qdc, qac, table=table, dtype=dtype, me=me
     )
-    # intra chroma recon = clamp((int)idct) (intraImgReconstruct
-    # enc src:1944-1960: truncation toward zero, then clamp)
-    rec = jnp.clip(c_trunc(c["idct"]), 0, 255).astype(jnp.uint8)
-    rec = from_blocks(rec)
+    if return_recon:
+        # intra chroma recon = clamp((int)idct) (intraImgReconstruct
+        # enc src:1944-1960: truncation toward zero, then clamp)
+        rec = jnp.clip(c_trunc(c["idct"]), 0, 255).astype(jnp.uint8)
+        rec = from_blocks(rec)
     for i, name in enumerate(("cb", "cr")):
         sl = slice(i * f, (i + 1) * f)
-        out[f"recon_{name}"] = rec[sl]
+        if return_recon:
+            out[f"recon_{name}"] = rec[sl]
         out[f"{name}_scan"] = c["scan"][sl].astype(jnp.int16)
         out[f"{name}_acflag"] = c["acflag"][sl].astype(jnp.int8)
     return out
@@ -158,20 +175,22 @@ def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table
         r = idct(iq, table=table, dtype=dtype)
         recon = intra_luma_decode_scan_packed(r, mpm, mode_bit, dtype=dtype)
     out = dict(y=from_blocks(recon).astype(jnp.uint8))
-    # Cb and Cr share the inverse chain: one batch, one DC scan/kernel
+    # Cb and Cr share the inverse chain: one batch, one kernel/scan
     f = cb_scan.shape[0]
-    qc = izigzag(jnp.concatenate([cb_scan, cr_scan]))
-    iqc = dequant_block(qc, qdc, qac)
-    ch, cw = qc.shape[1:3]
     if me != "xla" and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_dc import idc_dpcm_fused
+        from ..ops.pallas_xform import xform_inv_fused
 
-        dqc = idc_dpcm_fused(
-            iqc[..., 0, 0], chroma=True, interpret=(me == "pallas_interpret")
+        rinv = xform_inv_fused(
+            jnp.concatenate([cb_scan, cr_scan]), qdc, qac, chroma=True,
+            table=table, interpret=(me == "pallas_interpret"),
         )
     else:
+        qc = izigzag(jnp.concatenate([cb_scan, cr_scan]))
+        iqc = dequant_block(qc, qdc, qac)
+        ch, cw = qc.shape[1:3]
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
-    iqc = iqc.at[..., 0, 0].set(dqc)
-    rc = from_blocks(jnp.clip(c_trunc(idct(iqc, table=table, dtype=dtype)), 0, 255).astype(jnp.uint8))
+        iqc = iqc.at[..., 0, 0].set(dqc)
+        rinv = idct(iqc, table=table, dtype=dtype)
+    rc = from_blocks(jnp.clip(c_trunc(rinv), 0, 255).astype(jnp.uint8))
     out["cb"], out["cr"] = rc[:f], rc[f:]
     return out

@@ -63,10 +63,35 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..constants import COS_ENC
+from ..constants import COS_ENC, IZIGZAG, ZIGZAG
 from ..engine.wavefront import diag_layout, luma_dc_kind
-from .scanorder import izigzag, zigzag
 from .transforms import _fdct_matrix, _idct_matrix, _table_key
+
+
+@functools.lru_cache(maxsize=None)
+def _zz_matrix(inverse: bool) -> np.ndarray:
+    """The zig-zag scan (or its inverse) as a 64x64 0/1 permutation matrix
+    applied on the (64, M) coefficient tiles the kernels already hold:
+    sc = P_zz @ q_flat  /  q_flat = P_izz @ sc  (zigzagScanning enc
+    src:3014-3096).  numpy (not jnp): trace-time device constants stall
+    lowering through the axon tunnel (CLAUDE.md)."""
+    perm = IZIGZAG if inverse else ZIGZAG
+    m = np.zeros((64, 64), np.float32)
+    m[np.arange(64), np.asarray(perm)] = 1.0
+    return m
+
+
+def _perm64(mz_ref, x):
+    """Apply a 64-permutation matrix to (64, M) int32 x, exactly, at
+    DEFAULT MXU precision: the v5e runs f32 matmuls as a single bf16
+    pass, exact only for inputs <= 2^8, so split x+32768 (17 bits,
+    covers the whole int16 symbol domain) into two bf16-exact byte
+    halves and recombine in the exact f32 accumulator."""
+    p = x + 32768
+    hi = jax.lax.shift_right_logical(p, np.int32(8))    # <= 255
+    lo = p & 255
+    y = _mm(mz_ref[...], _f32(hi)) * 256.0 + _mm(mz_ref[...], _f32(lo))
+    return y.astype(jnp.int32) - 32768
 
 
 def _sgn(x):
@@ -79,7 +104,12 @@ def _iabs(x):
 
 
 def _udiv(a, q: int):
-    """Exact a // q for a >= 0 int32, static q >= 1 (C division support)."""
+    """a // q for a >= 0 int32, static q >= 1 (C division support).
+
+    Guaranteed exact for a <= 2^22: the +-1 correction fixes the
+    off-by-one from the f32-reciprocal quotient, but near 2^24 the
+    combined rounding of fl(1/q) and the product can reach ~2 ulp.  The
+    codec's dividends are |t| <~ 2^13 — far inside the bound."""
     if q == 1:
         return a
     if q & (q - 1) == 0:
@@ -124,27 +154,37 @@ def _mm(a, b, precision=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "qdc", "qac", "table_key", "interpret")
+    jax.jit,
+    static_argnames=("nb", "qdc", "qac", "table_key", "interpret", "want_recon"),
 )
 def _intra_rows_fused(orows, hu_t, hl_t, kind_t, lane0_t, nb: int,
                       qdc: int, qac: int, table_key: str,
-                      interpret: bool = False):
+                      interpret: bool = False, want_recon: bool = True):
     """orows: (nsteps, 64, Mp) uint8 diagonal rows, lane m = f*NB + gy%NB;
     hu/hl/kind_t: (nsteps, 1, Mp) i32 per-lane tables; lane0_t: (1, 1, Mp)
     i32 mask of residue-0 lanes (group-internal wraparound fix).
-    Returns (rec, q, flag, bit) rows: (nsteps, 64, Mp) u8 / i32 and
-    (nsteps, 1, Mp) i32 x2.  q rows are in yx (block) order — the caller
-    applies the zig-zag on the unpacked grid."""
+    Returns (rec, sc, flag, bit, acf) rows: rec (nsteps, 64, Mp) u8 (None
+    when want_recon=False — the pixel wavefront still runs, only the HBM
+    output is dropped), sc (nsteps, 64, Mp) i16 quantized symbols ALREADY
+    IN ZIG-ZAG ORDER (the scan permutation runs in-kernel), and
+    (nsteps, 1, Mp) i32 mpm flag / remainder bit / AC-empty flag."""
     nsteps, _, mp = orows.shape
     m_f = _fdct_matrix(table_key, "float32")           # (64, 64)
     m_i = _idct_matrix(table_key, "float32")
+    m_z = _zz_matrix(inverse=False)
     wrap = mp - nb + 1                                 # static rotate amounts
 
     def kernel(orow_ref, hu_ref, hl_ref, kind_ref, l0_ref,
-               mf_ref, mi_ref,
-               rec_ref, sc_ref, flag_ref, bit_ref,
-               h1rc, h2rc, h3rc, h1br, h2br, h3br,
-               h1md, h2md, h3md, h1dc, h2dc, h3dc):
+               mf_ref, mi_ref, mz_ref, *refs):
+        if want_recon:
+            rec_ref, sc_ref, flag_ref, bit_ref, acf_ref = refs[:5]
+            scratch = refs[5:]
+        else:
+            rec_ref = None
+            sc_ref, flag_ref, bit_ref, acf_ref = refs[:4]
+            scratch = refs[4:]
+        (h1rc, h2rc, h3rc, h1br, h2br, h3br,
+         h1md, h2md, h3md, h1dc, h2dc, h3dc) = scratch
         d_id = pl.program_id(0)
 
         @pl.when(d_id == 0)
@@ -264,10 +304,20 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, lane0_t, nb: int,
         predsel = jnp.where(mode_b == 0, pred0, jnp.where(mode_b == 1, pred1, pv))
         rec = jnp.clip((r + predsel).astype(jnp.int32), 0, 255)
 
-        rec_ref[0] = rec.astype(jnp.uint8)
-        sc_ref[0] = q.astype(jnp.int16)   # |q| <= ~2048: halve the stream
+        # zig-zag in-kernel (exact split-matmul permutation) + AC-empty
+        # flag (row 0 of the zig-zag layout is the DC)
+        sczz = _perm64(mz_ref, q)
+        nz = jnp.where(row0, 0, (sczz != 0).astype(jnp.int32))
+        acf = (jnp.sum(nz, axis=0, keepdims=True) == 0).astype(jnp.int32)
+
+        if want_recon:
+            rec_ref[0] = rec.astype(jnp.uint8)
+        # |q| <= ~4.2k (DC residual at qdc=1), well inside int16: halve
+        # the stream (the AC bound is ~2k)
+        sc_ref[0] = sczz.astype(jnp.int16)
         flag_ref[0] = flag
         bit_ref[0] = bit
+        acf_ref[0] = acf
 
         # --- rotate boundary history (fixed slots) ---
         rc_new = _mm(e_rc, _f32(rec)).astype(jnp.int32)
@@ -285,20 +335,25 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, lane0_t, nb: int,
     row_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
     fix_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (0, 0, 0), memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((64, 64), lambda d: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out_specs = [row_spec(64), row_spec(1), row_spec(1), row_spec(1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.int16),
+        jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
+        jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
+        jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
+    ]
+    if want_recon:
+        out_specs.insert(0, row_spec(64))
+        out_shape.insert(0, jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.uint8))
+    out = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=[
             row_spec(64), row_spec(1), row_spec(1), row_spec(1), fix_spec(1),
-            mat_spec, mat_spec,
+            mat_spec, mat_spec, mat_spec,
         ],
-        out_specs=(row_spec(64), row_spec(64), row_spec(1), row_spec(1)),
-        out_shape=(
-            jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.uint8),
-            jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.int16),
-            jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
-            jax.ShapeDtypeStruct((nsteps, 1, mp), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((8, mp), jnp.int32)] * 6
         + [pltpu.VMEM((1, mp), jnp.int32)] * 6,
         compiler_params=pltpu.CompilerParams(
@@ -306,7 +361,8 @@ def _intra_rows_fused(orows, hu_t, hl_t, kind_t, lane0_t, nb: int,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(orows, hu_t, hl_t, kind_t, lane0_t, m_f, m_i)
+    )(orows, hu_t, hl_t, kind_t, lane0_t, m_f, m_i, m_z)
+    return out if want_recon else (None,) + tuple(out)
 
 
 @functools.partial(
@@ -320,16 +376,18 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t,
     mode-from-MPM-bits pixel reconstruction (reference decoder:
     IDPCM_pix_block dec src:3643-3990) per diagonal.
 
-    srows: (nsteps, 64, Mp) i32 quantized symbols in yx (block) order
-    (the caller applies the inverse zig-zag before packing); frows/brows:
-    (nsteps, 1, Mp) i32 mpm flag / remainder bit; tables as in
-    _intra_rows_fused.  Returns rec rows (nsteps, 64, Mp) uint8."""
+    srows: (nsteps, 64, Mp) i16 quantized symbols in ZIG-ZAG order (the
+    inverse zig-zag permutation runs in-kernel — exact split matmuls,
+    _perm64); frows/brows: (nsteps, 1, Mp) i32 mpm flag / remainder bit;
+    tables as in _intra_rows_fused.  Returns rec rows (nsteps, 64, Mp)
+    uint8."""
     nsteps, _, mp = srows.shape
     m_i = _idct_matrix(table_key, "float32")
+    m_z = _zz_matrix(inverse=True)
     wrap = mp - nb + 1
 
     def kernel(srow_ref, f_ref, b_ref, hu_ref, hl_ref, kind_ref, l0_ref,
-               mi_ref, rec_ref,
+               mi_ref, mz_ref, rec_ref,
                h1rc, h2rc, h3rc, h1br, h2br, h3br,
                h1md, h2md, h3md, h1dc, h2dc, h3dc):
         d_id = pl.program_id(0)
@@ -375,7 +433,8 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t,
         row0 = yx1 == 0
 
         # --- inverse transform chain ---
-        q = srow_ref[0].astype(jnp.int32)               # i16 symbols in
+        # i16 zig-zag symbols in; inverse scan permutation in-kernel
+        q = _perm64(mz_ref, srow_ref[0].astype(jnp.int32))
         dc_pred = _dc_pred(kind, l_dq, ul_dq, u_dq, ur_dq)   # (1, Mp)
         iq = jnp.where(
             row0,
@@ -431,7 +490,7 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t,
         in_specs=[
             row_spec(64), row_spec(1), row_spec(1),
             row_spec(1), row_spec(1), row_spec(1), fix_spec(1),
-            mat_spec,
+            mat_spec, mat_spec,
         ],
         out_specs=row_spec(64),
         out_shape=jax.ShapeDtypeStruct((nsteps, 64, mp), jnp.uint8),
@@ -442,7 +501,7 @@ def _intra_decode_rows_fused(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t, m_i)
+    )(srows, frows, brows, hu_t, hl_t, kind_t, lane0_t, m_i, m_z)
 
 
 @functools.lru_cache(maxsize=None)
@@ -543,6 +602,20 @@ def _unpack_maps(gh: int, gw: int, nb: int):
     return step_of, lane_of
 
 
+def _rows_unpack_plane(rows, fdim: int, gh: int, gw: int, nb: int):
+    """(nsteps, 64, Mp) uint8 recon rows -> (F, gh*8, gw*8) pixel planes
+    in one take + one transpose (composing _rows_unpack with the
+    engine's from_blocks would spend an extra relayout pass on the
+    intermediate (F, gh, gw, 8, 8) block grid)."""
+    nsteps, c, _ = rows.shape
+    step_of, lane_of = _unpack_maps(gh, gw, nb)
+    x = rows[:, :, : fdim * nb].reshape(nsteps, c, fdim, nb)
+    x = jnp.transpose(x, (0, 3, 2, 1)).reshape(nsteps * nb, fdim, c)
+    out = jnp.take(x, (step_of * nb + lane_of).ravel(), axis=0)
+    out = out.reshape(gh, gw, fdim, 8, 8)
+    return jnp.transpose(out, (2, 0, 3, 1, 4)).reshape(fdim, gh * 8, gw * 8)
+
+
 def _rows_unpack(rows, fdim: int, gh: int, gw: int, nb: int):
     """(nsteps, C, Mp) diagonal rows -> (F, gh, gw, C).  Transpose +
     SINGLE-AXIS constant-map take: measured ~2-3x faster than the
@@ -561,12 +634,20 @@ def _rows_unpack(rows, fdim: int, gh: int, gw: int, nb: int):
 
 def intra_luma_scan_fused(orig: jnp.ndarray, qdc: int, qac: int,
                           table=COS_ENC, dtype=jnp.float32,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          want_recon: bool = True,
+                          recon_plane: bool = False):
     """Fused-pallas intra luma encoder; same contract (and, on the fast
     f32 path, the same bits) as wavefront.intra_luma_scan_packed.
 
-    orig: (F, gh, gw, 8, 8) int blocks -> dict(recon, scan, mpm, mode_bit)
-    on the (F, gh, gw, ...) grid."""
+    orig: (F, gh, gw, 8, 8) int blocks -> dict(recon, scan, mpm,
+    mode_bit, acflag) on the (F, gh, gw, ...) grid.  scan is int16 and
+    acflag comes straight out of the kernel (both were separate XLA
+    passes over the full grid before).  want_recon=False drops the recon
+    output entirely (the bitstream path doesn't need it — the pixel
+    wavefront still runs on-chip for the boundary state);
+    recon_plane=True returns recon as ready (F, H, W) uint8 planes
+    instead of int32 blocks (one fewer relayout pass)."""
     if dtype not in (jnp.float32, np.float32):
         raise ValueError("intra_luma_scan_fused is the fast-path kernel; "
                          "use the XLA scan for the exact float64 path")
@@ -585,18 +666,25 @@ def intra_luma_scan_fused(orig: jnp.ndarray, qdc: int, qac: int,
     )
     # numpy (not jnp) table constants: trace-time device constants stall
     # lowering through the axon tunnel (CLAUDE.md)
-    rec, q, flag, bit = _intra_rows_fused(
+    rec, sc, flag, bit, acf = _intra_rows_fused(
         orows, hu_t, hl_t, kind_t, lane0, nb, qdc, qac,
-        _table_key(np.asarray(table)), interpret,
+        _table_key(np.asarray(table)), interpret, want_recon,
     )
-    qg = _rows_unpack(q, fdim, gh, gw, nb)              # (F, gh, gw, 64)
-    return dict(
-        recon=_rows_unpack(rec, fdim, gh, gw, nb)
-        .astype(jnp.int32).reshape(fdim, gh, gw, 8, 8),
-        scan=zigzag(qg.astype(jnp.int32).reshape(fdim, gh, gw, 8, 8)),
+    out = dict(
+        scan=_rows_unpack(sc, fdim, gh, gw, nb),        # i16, zig-zag order
         mpm=_rows_unpack(flag, fdim, gh, gw, nb)[..., 0],
         mode_bit=_rows_unpack(bit, fdim, gh, gw, nb)[..., 0],
+        acflag=_rows_unpack(acf, fdim, gh, gw, nb)[..., 0],
     )
+    if want_recon:
+        if recon_plane:
+            out["recon_plane"] = _rows_unpack_plane(rec, fdim, gh, gw, nb)
+        else:
+            out["recon"] = (
+                _rows_unpack(rec, fdim, gh, gw, nb)
+                .astype(jnp.int32).reshape(fdim, gh, gw, 8, 8)
+            )
+    return out
 
 
 def intra_luma_decode_fused(y_scan: jnp.ndarray, mpm: jnp.ndarray,
@@ -604,13 +692,17 @@ def intra_luma_decode_fused(y_scan: jnp.ndarray, mpm: jnp.ndarray,
                             table, dtype=jnp.float32,
                             interpret: bool = False):
     """Fused-pallas intra luma DECODER: zig-zag symbols -> reconstructed
-    blocks in one kernel (dequant + inverse DC chain + IDCT + pixel
-    wavefront; the inverse zig-zag runs on the grid before packing).
-    Bit-identical to the XLA composition in
+    blocks in one kernel (inverse zig-zag + dequant + inverse DC chain +
+    IDCT + pixel wavefront).  Bit-identical to the XLA composition in
     engine.intra.decode_intra_frames on the fast f32 path.
 
     y_scan: (F, gh, gw, 64) int; mpm/mode_bit: (F, gh, gw) int.
-    Returns recon blocks (F, gh, gw, 8, 8) int32."""
+    Returns recon blocks (F, gh, gw, 8, 8) int32.
+
+    Symbols wider than int16 are CLAMPED to the int16 domain before
+    packing (a compliant stream's |q| bound is ~4.2k; only a corrupt or
+    hostile stream can exceed it, and clamping keeps the divergence
+    deterministic instead of wrapping)."""
     if dtype not in (jnp.float32, np.float32):
         raise ValueError("intra_luma_decode_fused is the fast-path kernel; "
                          "use the XLA scan for the exact float64 path")
@@ -620,9 +712,13 @@ def intra_luma_decode_fused(y_scan: jnp.ndarray, mpm: jnp.ndarray,
                          f"block-grid width; got gw={gw}")
     nsteps, nb, mp, hu_t, hl_t, kind_t, lane0 = _fused_tables(gh, gw, fdim)
 
-    # symbols travel as i16 (|q| <= ~2048): halves the packed stream
-    q = izigzag(jnp.asarray(y_scan)).astype(jnp.int16)  # (F, gh, gw, 8, 8)
-    srows = _rows_pack_gather(q.reshape(fdim, gh, gw, 64), nb, mp)
+    # symbols travel as i16 (|q| <= ~4.2k): halves the packed stream; the
+    # inverse zig-zag runs IN-KERNEL (the grid izigzag was a full-grid
+    # minor-axis gather pass)
+    sc = jnp.asarray(y_scan)
+    if sc.dtype != jnp.int16:
+        sc = jnp.clip(sc, -32768, 32767).astype(jnp.int16)
+    srows = _rows_pack_gather(sc.reshape(fdim, gh, gw, 64), nb, mp)
     frows = _shear_pack(
         jnp.asarray(mpm).astype(jnp.int32)[..., None], gh, gw, nb, mp
     )

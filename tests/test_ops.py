@@ -145,7 +145,7 @@ def test_pack_items_tail_convention():
 
 def test_pallas_kernels_interpret_mode():
     """EXPERIMENTAL pallas ME kernels: spec pinned in interpret mode."""
-    from icspcodec_tpu.ops.pallas_me import mc_gather, sad_sweep
+    from tests.legacy_kernels import mc_gather, sad_sweep
     from icspcodec_tpu.constants import SPIRAL
 
     prev = rng.integers(0, 256, (288, 352)).astype(np.uint8)

@@ -128,6 +128,62 @@ def test_dc_chain_fused_equals_scan(f, gh, gw, qstep, chroma):
     np.testing.assert_array_equal(np.asarray(idq_got), np.asarray(idq_ref))
 
 
+@pytest.mark.parametrize(
+    "f,gh,gw,qdc,qac,chroma",
+    [
+        (4, 18, 22, 16, 16, True),    # CIF chroma grid
+        (3, 9, 11, 10, 12, True),     # odd-width chroma (QCIF), non-pow2 qp
+        (2, 36, 44, 8, 16, False),    # CIF luma grid (inter residuals)
+        (2, 6, 6, 1, 1, False),       # qstep 1: max symbol magnitudes
+    ],
+)
+def test_xform_fused_equals_xla(f, gh, gw, qdc, qac, chroma):
+    """Fused transform chain (ops/pallas_xform.py) == the XLA composition
+    (fdct + dc_dpcm_scan + quant + zigzag + dequant + idct + acflag),
+    forward and inverse, both rounding regimes."""
+    from icspcodec_tpu.constants import COS_DEC
+    from icspcodec_tpu.engine.wavefront import (
+        chroma_dc_kind, dc_dpcm_scan, idc_dpcm_scan, luma_dc_kind,
+    )
+    from icspcodec_tpu.ops.pallas_xform import xform_fwd_fused, xform_inv_fused
+    from icspcodec_tpu.ops.quant import ac_flag, c_trunc, dequant_block, quant_block
+    from icspcodec_tpu.ops.scanorder import izigzag, zigzag
+    from icspcodec_tpu.ops.transforms import fdct, idct
+
+    r = np.random.default_rng(gh * 7 + gw)
+    lo, hi = (0, 256) if chroma else (-255, 256)
+    blocks = jnp.asarray(r.integers(lo, hi, (f, gh, gw, 8, 8), np.int32))
+    kind = (chroma_dc_kind if chroma else luma_dc_kind)(gh, gw)
+
+    d = fdct(blocks, table=COS_ENC, dtype=jnp.float32)
+    q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=chroma)
+    q = quant_block(d, qdc, qac, chroma=chroma)
+    q = q.at[..., 0, 0].set(q_dc)
+    sc_ref = zigzag(q)
+    acf_ref = ac_flag(q)
+    iq = dequant_block(q, qdc, qac)
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    r_ref = idct(iq, table=COS_ENC, dtype=jnp.float32)
+    if not chroma:
+        r_ref = c_trunc(r_ref)
+
+    got = xform_fwd_fused(blocks, qdc, qac, chroma, COS_ENC, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["scan"]), np.asarray(sc_ref))
+    np.testing.assert_array_equal(np.asarray(got["acflag"]), np.asarray(acf_ref))
+    np.testing.assert_array_equal(np.asarray(got["r"]), np.asarray(r_ref))
+
+    # inverse: decode the symbols this encode produced
+    qi = izigzag(sc_ref)
+    iqi = dequant_block(qi, qdc, qac)
+    dqi = idc_dpcm_scan(iqi[..., 0, 0], kind)
+    iqi = iqi.at[..., 0, 0].set(dqi)
+    ri_ref = idct(iqi, table=COS_DEC, dtype=jnp.float32)
+    if not chroma:
+        ri_ref = c_trunc(ri_ref)
+    got_i = xform_inv_fused(sc_ref, qdc, qac, chroma, COS_DEC, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ri_ref))
+
+
 def test_decode_fused_through_engine():
     from icspcodec_tpu.constants import COS_DEC
     from icspcodec_tpu.engine.intra import decode_intra_frames, encode_intra_frames

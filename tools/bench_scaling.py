@@ -71,16 +71,36 @@ def main():
         return best
 
     # headline: same batch, 1 vs 8 devices (collective-free SPMD means
-    # disjoint chips scale by device count x this factor)
-    t8_1 = timed(8, 1)
-    t8_8 = timed(8, 8)
-    sharding_eff = t8_1 / t8_8
+    # disjoint chips scale by device count x this factor).  The r4 value
+    # was a single shot and swung 0.445..1.042 across captures — the two
+    # legs were measured minutes apart under drifting host load (the
+    # shared-core CPU mesh competes with everything else on this box).
+    # Now: >= 5 repetitions of the (1dev, 8dev) pair measured
+    # BACK-TO-BACK (so load drift hits both legs of a ratio equally),
+    # reported as median + min/max spread — the same treatment
+    # tools/bench_decode_variance.py gave the r3 decode variance.
+    reps = []
+    times = []
+    for _ in range(5):
+        t8_1 = timed(8, 1)
+        t8_8 = timed(8, 8)
+        reps.append(t8_1 / t8_8)
+        times.append((t8_1, t8_8))
+    reps_sorted = sorted(reps)
+    sharding_eff = reps_sorted[len(reps) // 2]
+    t8_1, t8_8 = times[reps.index(sharding_eff)]
     # secondary: classic weak scaling — meaningless >1/n on shared cores
     weak = {n: timed(n, n) for n in (1, 2, 4, 8)}
     result = {
         "metric": "gop_sharding_efficiency",
         "value": round(sharding_eff, 3),
-        "unit": "t(8 GOPs, 1 dev) / t(8 GOPs, 8 devs)",
+        "unit": "t(8 GOPs, 1 dev) / t(8 GOPs, 8 devs); median of 5 pairs",
+        "reps": [round(r, 3) for r in reps],
+        "min": round(reps_sorted[0], 3),
+        "max": round(reps_sorted[-1], 3),
+        "spread_pct": round(
+            100 * (reps_sorted[-1] - reps_sorted[0]) / sharding_eff, 1
+        ),
         "seconds_8gops": {"1dev": round(t8_1, 3), "8dev": round(t8_8, 3)},
         "weak_scaling_shared_cores": {
             str(n): round(weak[1] / weak[n], 3) for n in weak

@@ -78,9 +78,31 @@ def intra30(c):
     return o["y_scan"].sum().astype(jnp.int32)
 
 
+def xform_chain(c):
+    """r5 fused transform-chain kernel (ops/pallas_xform.py): the whole
+    luma residual chain incl. the DC wavefront, one kernel."""
+    from icspcodec_tpu.ops.pallas_xform import xform_fwd_fused
+
+    resid = to_blocks(c.astype(jnp.int32) - prev.astype(jnp.int32))
+    o = xform_fwd_fused(resid, 16, 16, chroma=False, table=COS_ENC)
+    return (o["scan"].astype(jnp.int32).sum() + o["r"].sum()
+            + o["acflag"].sum()).astype(jnp.int32)
+
+
+def chroma_chain(c):
+    from icspcodec_tpu.engine.intra import encode_chroma_batch
+
+    planes = jnp.concatenate([curc, curc]) + (c[0, 0, 0] % 2).astype(jnp.uint8)
+    o = encode_chroma_batch(planes, 16, 16, table=COS_ENC,
+                            dtype=jnp.float32, me="pallas")
+    return (o["scan"].astype(jnp.int32).sum() + o["acflag"].sum()).astype(jnp.int32)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     run("full inter step (pallas)", full_step)
     run("luma dct+quant+zz+deq+idct", dct_chain)
     run("luma fdct + dc_dpcm_scan", dc_scan_luma)
+    run("FUSED luma xform chain (r5)", xform_chain)
+    run("chroma batch via xform (r5)", chroma_chain)
     run("intra 30-frame batch", intra30)

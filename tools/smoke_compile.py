@@ -73,6 +73,10 @@ def intra_fused_cases(w: int, h: int):
         fn10 = lambda nb: (lambda *a: pin._intra_rows_fused(
             *a, nb=nb, qdc=10, qac=12, table_key="enc"))
         cases.append((f"intra_fused_f{f}_q10", jax.jit(fn10(nb)), args))
+        # bitstream-only variant: recon output dropped
+        fnr = lambda nb: (lambda *a: pin._intra_rows_fused(
+            *a, nb=nb, qdc=16, qac=16, table_key="enc", want_recon=False))
+        cases.append((f"intra_fused_f{f}_norec", jax.jit(fnr(nb)), args))
         dargs = (
             _s((nsteps, 64, mp), jnp.int16),
             _s((nsteps, 1, mp), jnp.int32),
@@ -86,7 +90,40 @@ def intra_fused_cases(w: int, h: int):
     # regime, incl. non-pow2 qp) + luma grid fwd/inverse
     from icspcodec_tpu.ops import pallas_dc as pdc
 
+    # fused full transform chains (ops/pallas_xform.py): forward +
+    # inverse, both rounding regimes, non-pow2 qp
+    from icspcodec_tpu.ops import pallas_xform as pxf
+
     f = fs[0]
+    for tag, cgh, cgw, chroma, inv, qq in (
+        ("xf_fwd_chroma", gh // 2, gw // 2, True, False, (16, 16)),
+        ("xf_fwd_chroma_q10", gh // 2, gw // 2, True, False, (10, 12)),
+        ("xf_fwd_luma", gh, gw, False, False, (16, 16)),
+        ("xf_inv_luma", gh, gw, False, True, (16, 16)),
+        ("xf_inv_chroma", gh // 2, gw // 2, True, True, (16, 16)),
+    ):
+        ff = 2 * f if chroma else min(f, 30)
+        nsteps, nb, mp, kind, lane0 = pdc._dc_tables(cgh, cgw, ff, chroma)
+        dt = jnp.int16
+        xargs = (
+            _s((nsteps, 64, mp), dt),
+            _s((nsteps, 1, mp), jnp.int32),
+            _s((1, 1, mp), jnp.int32),
+        )
+        if inv:
+            fn = lambda nb, chroma: (lambda *a: pxf._ixform_rows_fused(
+                *a, nb=nb, qdc=16, qac=16, chroma=chroma,
+                table_key="dec"))
+            cases.append((f"{tag}_f{ff}", jax.jit(fn(nb, chroma)), xargs))
+        else:
+            qdc, qac = qq
+            fn = lambda nb, chroma, qdc, qac: (lambda *a: pxf._xform_rows_fused(
+                *a, nb=nb, qdc=qdc, qac=qac, chroma=chroma,
+                table_key="enc"))
+            cases.append(
+                (f"{tag}_f{ff}", jax.jit(fn(nb, chroma, qdc, qac)), xargs)
+            )
+
     for tag, cgh, cgw, chroma, inv, qs in (
         ("dc_fwd_chroma", gh // 2, gw // 2, True, False, 16),
         ("dc_fwd_chroma_q10", gh // 2, gw // 2, True, False, 10),
