@@ -168,6 +168,23 @@ def main():
     wall_ph, bits_ph = wall(cfg_ph)
     assert bits_ih == bits_i and bits_ph == bits_p  # same bytes, either path
 
+    # streaming (per-GOP incremental, resumable) wall fps: the pthread
+    # pool's end-to-end analog (ICSP_thread.cpp:39-77).  Should sit near
+    # the plain encode wall number — the r3 ask #7 "measurement half"
+    import shutil
+    import tempfile
+    from icspcodec_tpu.streaming import encode_streaming
+
+    sdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        encode_streaming(y, cb, cr, cfg_p, sdir + "/warm")  # compile+warm
+        t0 = time.time()
+        bits_s = encode_streaming(y, cb, cr, cfg_p, sdir + "/run")
+        wall_s = NF / (time.time() - t0)
+        assert bits_s == bits_p  # streaming container == single-shot bytes
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+
     # native host stage throughput (round-2 weak #5: never benchmarked):
     # the C bitstream parser and packer, MB/s over the real inter stream
     from icspcodec_tpu.runtime import parse_body, pack_items_native
@@ -215,6 +232,7 @@ def main():
         "wall_fps_inter_p10": round(wall_p, 1),
         "wall_fps_allintra_host_entropy": round(wall_ih, 1),
         "wall_fps_inter_p10_host_entropy": round(wall_ph, 1),
+        "wall_fps_inter_p10_streaming": round(wall_s, 1),
         "wall_inter_vs_cpp": round(wall_p / BASE_INTER_FPS, 2),
         "native_parse_mbs": round(parse_mbs, 1),
         "native_pack_mbs": round(pack_mbs, 1),

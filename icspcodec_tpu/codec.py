@@ -126,6 +126,10 @@ def _encode_intra_items_jit(y, cb, cr, qdc, qac, exact, me="xla",
     out = encode_intra_frames(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt,
                               me=me, return_recon=want_recon)
     sym = {k: out[k] for k in _INTRA_KEYS + ("y_acflag",)}
+    # materialize the engine outputs once: without the barrier XLA
+    # duplicates the diagonal-row unpack gathers into every item
+    # consumer (measured 13.5 ms vs 8.6 ms for the composed program)
+    sym = jax.lax.optimization_barrier(sym)
     codes, lengths = frame_items_dev(sym, True)
     recons = (
         (out["recon_y"], out["recon_cb"], out["recon_cr"])
@@ -141,11 +145,13 @@ def _encode_gop_items_jit(y, cb, cr, qdc, qac, exact, me="xla"):
     dt = jnp.float64 if exact else jnp.float32
     intra, inter = encode_gop(y, cb, cr, qdc, qac, table=COS_ENC, dtype=dt, me=me)
     isym = {k: intra[k] for k in _INTRA_KEYS + ("y_acflag",)}
+    isym = jax.lax.optimization_barrier(isym)  # see _encode_intra_items_jit
     ci, li = frame_items_dev(isym, True)
     psym = {
         k: inter[k].reshape((-1,) + inter[k].shape[2:])
         for k in _INTER_KEYS + ("y_acflag",)
     }
+    psym = jax.lax.optimization_barrier(psym)
     cp, lp = frame_items_dev(psym, False)
     recons = (
         (intra["recon_y"], intra["recon_cb"], intra["recon_cr"]),

@@ -128,13 +128,14 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
         # IDCT+(int) cast, acflag) as ONE kernel; bit-identical
         xf = xform_fwd_fused(
             resid8, qdc, qac, chroma=False, table=table,
-            interpret=(me == "pallas_interpret"),
+            interpret=(me == "pallas_interpret"), r_plane=True,
         )
         sc = xf["scan"]
         acf = xf["acflag"]
         # mergeBlock INTER casts the double IDCT to int (enc src:4812) —
-        # the kernel already emitted trunc(idct)
-        recon_y = jnp.clip(predf + from_blocks(xf["r"]), 0, 255).astype(jnp.uint8)
+        # the kernel already emitted trunc(idct), unpacked straight to
+        # frame layout
+        recon_y = jnp.clip(predf + xf["r_plane"], 0, 255).astype(jnp.uint8)
     else:
         d = fdct(resid8, table=table, dtype=dtype)
         q_dc, dq_dc = dc_dpcm_scan(
@@ -163,7 +164,10 @@ def encode_inter_frame(cur_y, cur_cb, cur_cr, prev_y, prev_cb, prev_cr, qdc, qac
     # (predcf computed above alongside the luma predictor)
     planes = jnp.concatenate([cur_cb, cur_cr])
     err = to_blocks(planes).astype(jnp.int32) - to_blocks(predcf)
-    c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype, me=me)
+    # xform=True: inside the GOP frame scan the fully-fused chain wins
+    # (launch-overhead-bound at small F; see encode_chroma_batch)
+    c = encode_chroma_batch(err, qdc, qac, table=table, dtype=dtype, me=me,
+                            xform=True)
     # recon = clamp((int)(pad_pixel + idct)): double sum, trunc to zero
     rec = jnp.clip(c_trunc(predcf.astype(dtype) + from_blocks(c["idct"])), 0, 255)
     for i, name in enumerate(("cb", "cr")):
@@ -307,11 +311,11 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
 
         _interp = me == "pallas_interpret"
         # inverse zig-zag + dequant + inverse DC chain + IDCT + (int)
-        # cast as ONE kernel
-        inv_f = from_blocks(xform_inv_fused(
+        # cast as ONE kernel, unpacked straight to frame layout
+        inv_f = xform_inv_fused(
             sym["y_scan"], qdc, qac, chroma=False, table=table,
-            interpret=_interp,
-        ))
+            interpret=_interp, r_plane=True,
+        )
     else:
         q = izigzag(sym["y_scan"])
         iq = dequant_block(q, qdc, qac)

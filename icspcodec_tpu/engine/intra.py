@@ -40,22 +40,28 @@ def from_blocks(blocks: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(blocks.shape[:-4] + (gh * bs, gw * bs))
 
 
-def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, me: str = "xla"):
+def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, dtype=jnp.float64, me: str = "xla", xform: bool = False):
     """Forward chroma chain for (F, H, W) pixel planes (intra: raw pixels)
     or (F, gh, gw, 8, 8) residual blocks (inter).
 
     Returns dict(scan, acflag, idct) — idct is the float inverse-DCT
     output; callers finish reconstruction their own way.
 
-    me: "pallas"/"pallas_interpret" run the ENTIRE chain (DCT, DC-DPCM,
-    quant, zig-zag, dequant, IDCT, acflag) as one fused kernel
-    (ops/pallas_xform.py) on the fast f32 path — identical bits."""
+    me: "pallas"/"pallas_interpret" run the sequential DC-DPCM chain as
+    one fused kernel (ops/pallas_dc.py) on the fast f32 path.
+    xform=True additionally runs the WHOLE chain as one fused kernel
+    (ops/pallas_xform.py) — identical bits.  Measured: a win inside the
+    GOP frame scan (small F, launch-overhead-bound) but a LOSS for big
+    intra batches (F=600 CIF: 1.3 ms -> 3.4 ms — chroma is elementwise
+    except the DC row, and the rows layout moves 64x more data through
+    the wavefront machinery than the DC chain needs), so intra callers
+    leave it off."""
     if planes.ndim == 3:
         blocks = to_blocks(planes).astype(jnp.int32)
     else:
         blocks = planes
     fdim, ch, cw = blocks.shape[:3]
-    if me != "xla" and dtype in (jnp.float32, np.float32):
+    if xform and me != "xla" and dtype in (jnp.float32, np.float32):
         from ..ops.pallas_xform import xform_fwd_fused
 
         out = xform_fwd_fused(
@@ -65,7 +71,15 @@ def encode_chroma_batch(planes: jnp.ndarray, qdc: int, qac: int, table=COS_ENC, 
         return dict(scan=out["scan"], acflag=out["acflag"], idct=out["r"])
     d = fdct(blocks, table=table, dtype=dtype)
     kind = chroma_dc_kind(ch, cw)
-    q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
+    if me != "xla" and dtype in (jnp.float32, np.float32):
+        from ..ops.pallas_dc import dc_dpcm_fused
+
+        q_dc, dq_dc = dc_dpcm_fused(
+            d[..., 0, 0], qdc, chroma=True,
+            interpret=(me == "pallas_interpret"),
+        )
+    else:
+        q_dc, dq_dc = dc_dpcm_scan(d[..., 0, 0], kind, qdc, chroma=True)
     q = quant_block(d, qdc, qac, chroma=True)
     q = q.at[..., 0, 0].set(q_dc)
     sc = zigzag(q)
@@ -175,22 +189,24 @@ def decode_intra_frames(y_scan, mpm, mode_bit, cb_scan, cr_scan, qdc, qac, table
         r = idct(iq, table=table, dtype=dtype)
         recon = intra_luma_decode_scan_packed(r, mpm, mode_bit, dtype=dtype)
     out = dict(y=from_blocks(recon).astype(jnp.uint8))
-    # Cb and Cr share the inverse chain: one batch, one kernel/scan
+    # Cb and Cr share the inverse chain: one batch, one DC scan/kernel
+    # (the fully-fused inverse chain is reserved for the GOP frame scan —
+    # at intra batch sizes the batched XLA composition is faster, see
+    # encode_chroma_batch)
     f = cb_scan.shape[0]
+    qc = izigzag(jnp.concatenate([cb_scan, cr_scan]))
+    iqc = dequant_block(qc, qdc, qac)
+    ch, cw = qc.shape[1:3]
     if me != "xla" and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_xform import xform_inv_fused
+        from ..ops.pallas_dc import idc_dpcm_fused
 
-        rinv = xform_inv_fused(
-            jnp.concatenate([cb_scan, cr_scan]), qdc, qac, chroma=True,
-            table=table, interpret=(me == "pallas_interpret"),
+        dqc = idc_dpcm_fused(
+            iqc[..., 0, 0], chroma=True, interpret=(me == "pallas_interpret")
         )
     else:
-        qc = izigzag(jnp.concatenate([cb_scan, cr_scan]))
-        iqc = dequant_block(qc, qdc, qac)
-        ch, cw = qc.shape[1:3]
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
-        iqc = iqc.at[..., 0, 0].set(dqc)
-        rinv = idct(iqc, table=table, dtype=dtype)
+    iqc = iqc.at[..., 0, 0].set(dqc)
+    rinv = idct(iqc, table=table, dtype=dtype)
     rc = from_blocks(jnp.clip(c_trunc(rinv), 0, 255).astype(jnp.uint8))
     out["cb"], out["cr"] = rc[:f], rc[f:]
     return out

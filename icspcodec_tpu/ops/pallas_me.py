@@ -186,82 +186,99 @@ def sad_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
     )(jnp.asarray(shifts), cur, pad)
 
 
+def _grouped_shifts(shifts: np.ndarray):
+    """Group (N, 2) roll shifts by lane (column) shift, first-appearance
+    order: [(col_shift, [(row_shift, rank), ...]), ...].  The spiral's 64
+    offsets share only 9 distinct column shifts, so a kernel iterating
+    group-major lane-rolls the padded frame once per GROUP and only
+    sublane-rolls per offset — lane rolls (cross-lane data movement) are
+    the expensive half of the per-offset cost."""
+    groups: dict = {}
+    order: list = []
+    for rank, (rs, cs) in enumerate(np.asarray(shifts)):
+        if int(cs) not in groups:
+            groups[int(cs)] = []
+            order.append(int(cs))
+        groups[int(cs)].append((int(rs), rank))
+    return [(cs, groups[cs]) for cs in order]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
-    """Fused ME + luma MC: one 64-roll pass computing the canonical
-    selection AND the selected predictor frame.
+    """Fused ME + luma MC + dense canonical SADs, grouped rolls: same (best, zc, sads, pred)
+    outputs, ~half the roll work and no HIGHEST-precision matmul.
 
-    Returns (best, zc, sads, pred): best/zc as in sad_best, sads the
-    dense canonical-unique SADs (G, N_CANON, mbh, mbw) in union-row
-    order (the stateful branch then only computes the 66 non-canonical
-    offsets via sad_union_extra), and pred (G, H, W) uint8 — the
-    predictor at each MB's winning offset, maintained as a running
-    masked select inside the same pass: the update mask per offset is
-    `new strict min | second zero-SAD evaluation`, whose LAST firing is
-    exactly the reference's pick (a second zero fires at most once and
-    nothing can beat min==0 afterwards, so no later update overwrites
-    it).  Mask expansion (mbh,mbw)->(H,W) is two 0/1 matmuls — exact at
-    default MXU precision (every product is a single 0/1 term)."""
+    * offsets iterate GROUP-major (9 lane rolls total, one sublane roll
+      per offset) — the canonical spiral ORDER no longer matches the
+      iteration order, so selection uses the order-independent key
+      s*64 + rank (min-key == first strict minimum in spiral order).
+    * the MB reduction's second matmul ran at precision=HIGHEST (row
+      sums up to 4080 exceed the single-pass-bf16 exact range); here the
+      column-sum stage converts to int and splits into bf16-exact
+      nibble/byte halves, so BOTH matmuls run at default precision.
+    * CONTRACT (narrower than sad_best's): best and pred are the
+      canonical first-strict-minimum WITHOUT the two-zero-SAD override.
+      They are exact whenever no MB reaches zc >= 2 — exactly the
+      condition under which engine.inter's fixed branch consumes them
+      (any zc >= 2 routes to the stateful union branch, which recomputes
+      MVs and MC from the dense SAD rows and ignores best/pred).  zc and
+      sads keep full semantics (they gate/feed that branch).
+    """
     g, h, w = cur.shape
     pad = _lane_extend(pad)
     ph, pw = pad.shape[-2], pad.shape[-1]
     mbh, mbw = h // 16, w // 16
     shifts = _roll_shifts(np.asarray(SPIRAL), 16, ph, pw)
-    # canonical walk step -> canonical-unique union row (values < N_CANON)
+    groups = _grouped_shifts(shifts)
     step2row = SPIRAL_STATE_IDX[0].astype(np.int32)
 
-    def kernel(sh_ref, s2r_ref, cur_ref, pad_ref, best_ref, zc_ref, sads_ref, pred_ref):
+    def kernel(cur_ref, pad_ref, best_ref, zc_ref, sads_ref, pred_ref):
         cur_i = cur_ref[0].astype(jnp.int32)
         pad_i = pad_ref[0].astype(jnp.int32)
         rowsum = _iota_eq(mbh, h, 16)        # (mbh, H)
         colsum = _iota_eq(mbw, w, 16).T      # (W, mbw)
 
-        def body(k, st):
-            curmin, best, zc, second, pred = st
-            win = pltpu.roll(
-                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
-            )[:h, :w]
-            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
-            s = jnp.dot(
-                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
-                colsum,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)
-            sads_ref[0, s2r_ref[k]] = s      # dup center overwrites row 0: same value
-            lt = s < curmin
-            z = s == 0
-            upd = lt | (z & (zc == 1))
-            # expand (mbh, mbw) 0/1 -> (H, W) 0/1: small matmul first
-            um = jnp.dot(
-                jnp.dot(rowsum.T, upd.astype(jnp.float32), preferred_element_type=jnp.float32),
-                colsum.T,
-                preferred_element_type=jnp.float32,
-            )
-            pred = jnp.where(um != 0, win, pred)
-            best = jnp.where(lt, k, best)
-            curmin = jnp.where(lt, s, curmin)
-            second = jnp.where(z & (zc == 1), k, second)
-            zc = zc + z.astype(jnp.int32)
-            return curmin, best, zc, second, pred
-
-        zeros = jnp.zeros((mbh, mbw), jnp.int32)
-        init = (
-            jnp.full((mbh, mbw), jnp.iinfo(jnp.int32).max, jnp.int32),
-            zeros, zeros, zeros, jnp.zeros((h, w), jnp.int32),
-        )
-        _, best, zc, second, pred = jax.lax.fori_loop(0, len(shifts), body, init)
-        best_ref[0] = jnp.where(zc >= 2, second, best)
+        curkey = jnp.full((mbh, mbw), jnp.iinfo(jnp.int32).max, jnp.int32)
+        zc = jnp.zeros((mbh, mbw), jnp.int32)
+        pred = jnp.zeros((h, w), jnp.int32)
+        for cs, members in groups:
+            cached = pltpu.roll(pad_i, cs, axis=1)          # per-group
+            for rs, rank in members:
+                win = pltpu.roll(cached, rs, axis=0)[:h, :w]
+                d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)
+                     ).astype(jnp.float32)
+                # (H, W) @ (W, mbw): inputs <= 255, bf16-exact at
+                # default precision; f32 accumulation exact (< 2^24)
+                csum = jnp.dot(d, colsum, preferred_element_type=jnp.float32)
+                csi = csum.astype(jnp.int32)                # <= 4080
+                hi = jax.lax.shift_right_logical(csi, np.int32(4))
+                lo = csi & 15
+                s = (
+                    jnp.dot(rowsum, _f32c(hi), preferred_element_type=jnp.float32)
+                    * 16.0
+                    + jnp.dot(rowsum, _f32c(lo), preferred_element_type=jnp.float32)
+                ).astype(jnp.int32)
+                sads_ref[0, step2row[rank]] = s
+                key = s * 64 + rank
+                lt = key < curkey
+                um = jnp.dot(
+                    jnp.dot(rowsum.T, lt.astype(jnp.float32),
+                            preferred_element_type=jnp.float32),
+                    colsum.T,
+                    preferred_element_type=jnp.float32,
+                )
+                pred = jnp.where(um != 0, win, pred)
+                curkey = jnp.where(lt, key, curkey)
+                zc = zc + (s == 0).astype(jnp.int32)
+        best_ref[0] = curkey & 63                           # rank of min key
         zc_ref[0] = zc
-        pred_ref[0] = pred.astype(jnp.uint8)  # pixels: narrow VMEM/HBM
+        pred_ref[0] = pred.astype(jnp.uint8)
 
     mb_spec = pl.BlockSpec((1, mbh, mbw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -279,7 +296,11 @@ def sad_mc_best(cur: jnp.ndarray, pad: jnp.ndarray, interpret: bool = False):
         ),
         compiler_params=_vmem_params(ph, pw, h, w, 6),
         interpret=interpret,
-    )(jnp.asarray(shifts), jnp.asarray(step2row), cur, pad)
+    )(cur, pad)
+
+
+def _f32c(x):
+    return x.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -220,11 +220,15 @@ def _ixform_rows_fused(srows, kind_t, lane0_t, nb: int, qdc: int, qac: int,
 
 
 def xform_fwd_fused(blocks: jnp.ndarray, qdc: int, qac: int, chroma: bool,
-                    table, interpret: bool = False):
+                    table, interpret: bool = False, r_plane: bool = False):
     """Forward chain for (F, gh, gw, 8, 8) int blocks (chroma pixels or
     inter luma residuals, |v| <= 255).  Returns dict(scan (F,gh,gw,64)
     i16 zig-zag, acflag (F,gh,gw) i32, r) where r is trunc(idct) int32
-    blocks [luma] or float32 idct blocks [chroma]."""
+    blocks [luma] or float32 idct blocks [chroma].  r_plane=True (luma)
+    returns r as ready (F, gh*8, gw*8) planes instead — one fewer
+    relayout pass for callers reconstructing whole frames."""
+    from .pallas_intra import _rows_unpack_plane
+
     fdim, gh, gw = blocks.shape[:3]
     nsteps, nb, mp, kind_t, lane0 = _dc_tables(gh, gw, fdim, chroma)
     vrows = _shear_pack(
@@ -234,20 +238,27 @@ def xform_fwd_fused(blocks: jnp.ndarray, qdc: int, qac: int, chroma: bool,
         vrows, kind_t, lane0, nb, qdc, qac, chroma,
         _table_key(np.asarray(table)), interpret,
     )
-    rg = _rows_unpack(r, fdim, gh, gw, nb)
-    return dict(
+    out = dict(
         scan=_rows_unpack(sc, fdim, gh, gw, nb),
         acflag=_rows_unpack(acf, fdim, gh, gw, nb)[..., 0],
-        r=(rg if chroma else rg.astype(jnp.int32)).reshape(
-            fdim, gh, gw, 8, 8
-        ),
     )
+    if r_plane and not chroma:
+        out["r_plane"] = _rows_unpack_plane(r, fdim, gh, gw, nb).astype(jnp.int32)
+    else:
+        rg = _rows_unpack(r, fdim, gh, gw, nb)
+        out["r"] = (rg if chroma else rg.astype(jnp.int32)).reshape(
+            fdim, gh, gw, 8, 8
+        )
+    return out
 
 
 def xform_inv_fused(scan: jnp.ndarray, qdc: int, qac: int, chroma: bool,
-                    table, interpret: bool = False):
+                    table, interpret: bool = False, r_plane: bool = False):
     """Inverse chain for (F, gh, gw, 64) int zig-zag symbols.  Returns r
-    blocks (F, gh, gw, 8, 8): trunc(idct) int32 [luma] / f32 [chroma]."""
+    blocks (F, gh, gw, 8, 8): trunc(idct) int32 [luma] / f32 [chroma];
+    r_plane=True (luma) returns (F, gh*8, gw*8) planes directly."""
+    from .pallas_intra import _rows_unpack_plane
+
     fdim, gh, gw = scan.shape[:3]
     nsteps, nb, mp, kind_t, lane0 = _dc_tables(gh, gw, fdim, chroma)
     sc = jnp.asarray(scan)
@@ -258,5 +269,7 @@ def xform_inv_fused(scan: jnp.ndarray, qdc: int, qac: int, chroma: bool,
         srows, kind_t, lane0, nb, qdc, qac, chroma,
         _table_key(np.asarray(table)), interpret,
     )
+    if r_plane and not chroma:
+        return _rows_unpack_plane(r, fdim, gh, gw, nb).astype(jnp.int32)
     rg = _rows_unpack(r, fdim, gh, gw, nb)
     return (rg if chroma else rg.astype(jnp.int32)).reshape(fdim, gh, gw, 8, 8)

@@ -267,9 +267,13 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
         else:
             pending.append((g, idxs))
 
-    # batch pending GOPs of equal length into SPMD rounds (the tail GOP,
-    # when shorter, forms its own round); round size = the mesh width
-    rsize = max(1, cfg.gop_shards)
+    # batch pending GOPs of equal length into rounds (the tail GOP, when
+    # shorter, forms its own round).  Sharded: round size = mesh width
+    # (SPMD).  Plain: rounds of 8 GOPs per dispatch — durability is
+    # per-GOP either way (each round writes one chunk per GOP), but
+    # per-GOP dispatch would pay the device<->host round-trip floor 30x
+    # per CIF300 and sink the wall throughput to ~2/3 of codec.encode's
+    rsize = cfg.gop_shards if cfg.gop_shards > 1 else 8
     rounds: list[list] = []
     for g, idxs in pending:
         if rounds and len(rounds[-1]) < rsize and len(rounds[-1][0][1]) == len(idxs):

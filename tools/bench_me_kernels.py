@@ -95,6 +95,10 @@ def p_full(c, p, pc):
     predc = pme.mc_select_chroma(pc, cidx)
     return pred.sum() + predc.sum()
 
+def p_fused(c, p, pc):
+    best, zc, sads, pred = pme.sad_mc_best(c, p)
+    return best.sum() + pred.sum().astype(jnp.int32) + sads.sum()
+
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
@@ -104,3 +108,4 @@ if __name__ == "__main__":
     run("pallas sad_best", loop(p_sad))
     run("pallas sad+mc_luma", loop(p_sadmc))
     run("pallas sad+mc_luma+chroma", loop(p_full))
+    run("pallas sad_mc_best (grouped rolls, fused MC)", loop(p_fused))

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""In-situ A/B of the device bit-pack algorithms (r5): byte-level
+gather pack (production, bitstream_device.pack_frames_dev) vs the r4
+expand-by-prefix-sum scatter pack (local copy below).
+
+Carry-serialized probes hoist the offset machinery (loop-invariant), so
+this tool times the REAL usage instead: dispatch per slab, pull the
+packed rows, wall-clock the whole intra CIF300 pack.  Byte equality of
+the two implementations is asserted first.
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("maxbytes",))
+def pack_frames_scatter(codes, lengths, maxbytes: int):
+    """r4 algorithm: scatter a mark per item start, cumsum over bit
+    positions, gather (code, length, offset) per bit."""
+    import jax.numpy as jnp
+
+    f, n = codes.shape
+    nbits_pad = maxbytes * 8
+    off = jnp.cumsum(lengths, axis=1) - lengths
+    nbits = (off[:, -1] + lengths[:, -1]).astype(jnp.int32)
+    rows = jnp.arange(f)[:, None]
+    mark = jnp.zeros((f, nbits_pad), jnp.int32).at[rows, off].add(1, mode="drop")
+    itemid = jnp.cumsum(mark, axis=1) - 1
+    o = jnp.take_along_axis(off, itemid, axis=1)
+    l = jnp.take_along_axis(lengths, itemid, axis=1)
+    c = jnp.take_along_axis(codes, itemid, axis=1)
+    pos = jnp.arange(nbits_pad, dtype=jnp.int32)[None, :]
+    j = pos - o
+    valid = (j >= 0) & (j < l)
+    shift = jnp.clip(l - 1 - j, 0, 31).astype(jnp.uint32)
+    bit = ((c >> shift) & 1).astype(jnp.int32)
+    bits = jnp.where(valid, bit, 0)
+    weights = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
+    packed = (bits.reshape(f, maxbytes, 8) * weights).sum(-1).astype(jnp.uint8)
+    return packed, nbits
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from icspcodec_tpu.bitstream_device import frame_items_dev, pack_frames_dev
+    from icspcodec_tpu.constants import COS_ENC
+    from icspcodec_tpu.engine.intra import encode_intra_frames
+    from icspcodec_tpu.io import load_yuv420
+    from tools.make_content import synth_sequence
+
+    NF, W, H = 300, 352, 288
+    raw = synth_sequence("benchA", NF).tobytes()
+    y, cb, cr = load_yuv420(raw, W, H, NF)
+    enc = jax.jit(
+        lambda: encode_intra_frames(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr), 16, 16,
+            table=COS_ENC, dtype=jnp.float32, me="pallas", return_recon=False,
+        )
+    )()
+    sym = {k: enc[k] for k in (
+        "y_scan", "mpm", "mode_bit", "cb_scan", "cb_acflag",
+        "cr_scan", "cr_acflag", "y_acflag",
+    )}
+    ci, li = jax.jit(lambda: frame_items_dev(sym, True))()
+    nbits = np.asarray(jnp.sum(li, axis=1))
+    maxbytes = int(-(-int(nbits.max()) // (8 * 8192)) * 8192)
+    print(f"maxbytes={maxbytes}", flush=True)
+
+    slab = 32
+    slabs = [(s, min(s + slab, NF)) for s in range(0, NF, slab)]
+
+    def wall(impl, name):
+        # warm/compile every slab shape
+        for a, b in slabs:
+            p, n = impl(ci[a:b], li[a:b], maxbytes)
+            np.asarray(p)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            outs = []
+            for a, b in slabs:
+                p, n = impl(ci[a:b], li[a:b], maxbytes)
+                outs.append((np.asarray(p), np.asarray(n)))
+            best = min(best, time.time() - t0)
+        print(f"{name}: {best*1e3:.0f} ms / {NF} frames (pull incl.)", flush=True)
+        return outs
+
+    a = wall(pack_frames_dev, "byte-gather pack (r5 prod)")
+    b = wall(pack_frames_scatter, "scatter pack (r4)")
+    for (pa, na), (pb, nb) in zip(a, b):
+        assert np.array_equal(na, nb)
+        assert np.array_equal(pa, pb)
+    print("byte-identical outputs", flush=True)
+
+
+if __name__ == "__main__":
+    main()

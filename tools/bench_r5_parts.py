@@ -153,12 +153,12 @@ def main():
         return cks(p, n)
 
     def p_engine_items(d):
-        out = encode_intra_frames(yj + d.astype(jnp.uint8), cbj, crj, 16, 16,
-                                  table=COS_ENC, dtype=jnp.float32, me="pallas",
-                                  return_recon=False)
-        s2 = {k: out[k] for k in list(sym) if k != "y_acflag"}
-        s2["y_acflag"] = out["y_acflag"]
-        c, l = frame_items_dev(s2, True)
+        from icspcodec_tpu.codec import _encode_intra_items_jit
+
+        c, l, _ = _encode_intra_items_jit(
+            yj + d.astype(jnp.uint8), cbj, crj, 16, 16, False,
+            me="pallas", want_recon=False,
+        )
         return cks(c, l)
 
     # decode with the in-kernel inverse zig-zag
