@@ -166,39 +166,37 @@ def pack_frames_dev(codes: jnp.ndarray, lengths: jnp.ndarray, maxbytes: int):
     must cover the largest frame (the caller buckets it from the pulled
     bit counts); bits past a frame's end are zero.
 
-    Byte-level formulation: each output byte overlaps at most 9 items
-    (>= 1 bit each: up to 8 starts + 1 continuation), so the byte value
-    is the OR of 9 shift-aligned candidate codes gathered from the first
-    item covering the byte (a vectorized binary search over the offset
-    prefix sums).  The original expand-by-prefix-sum formulation
-    scattered a mark per item then cumsummed over every BIT position —
-    XLA:TPU lowers scatter near-serially and it measured 320 ms per
-    32-frame slab (~100x this version); there is no scatter here."""
+    Expand-by-prefix-sum formulation: scatter a mark at each item start,
+    cumsum to recover the item id owning each bit position, gather
+    (code, length, offset) per position and extract the bit.  A
+    byte-level alternative (<= 9 overlapping items per output byte,
+    searchsorted + shift-aligned OR — 27 small gathers instead of 3 big
+    ones) measured 38% SLOWER in situ on the v5e (tools/bench_pack_ab.py:
+    5.3 s vs 3.9 s per CIF300): XLA:TPU dynamic gathers pay a large
+    fixed cost per op, so fewer-and-bigger wins."""
     f, n = codes.shape
+    nbits_pad = maxbytes * 8
     off = jnp.cumsum(lengths, axis=1) - lengths           # exclusive
     nbits = (off[:, -1] + lengths[:, -1]).astype(jnp.int32)
 
-    bytestart = jnp.arange(maxbytes, dtype=jnp.int32) * 8  # (B,)
-    # first item covering bit 8b: largest i with off[i] <= 8b
-    bsi = jax.vmap(
-        lambda o: jnp.searchsorted(o, bytestart, side="right")
-    )(off).astype(jnp.int32) - 1                           # (F, B)
-    bsi = jnp.maximum(bsi, 0)
+    # item id per bit position: scatter 1 at each item start, cumsum
+    rows = jnp.arange(f)[:, None]
+    mark = jnp.zeros((f, nbits_pad), jnp.int32).at[rows, off].add(1, mode="drop")
+    itemid = jnp.cumsum(mark, axis=1) - 1                 # (F, nbits_pad)
 
-    be = (bytestart + 8)[None, :]
-    out = jnp.zeros((f, maxbytes), jnp.uint32)
-    for k in range(9):
-        idx = jnp.minimum(bsi + k, n - 1)
-        o = jnp.take_along_axis(off, idx, axis=1)
-        l = jnp.take_along_axis(lengths, idx, axis=1)
-        c = jnp.take_along_axis(codes, idx, axis=1)
-        rel = o + l - be                                   # item end - byte end
-        m = (o < be) & (rel > -8)                          # item overlaps byte
-        right = jnp.clip(rel, 0, 31).astype(jnp.uint32)
-        left = jnp.clip(-rel, 0, 7).astype(jnp.uint32)
-        contrib = ((c >> right) << left) & jnp.uint32(0xFF)
-        out = out | jnp.where(m, contrib, jnp.uint32(0))
-    return out.astype(jnp.uint8), nbits
+    o = jnp.take_along_axis(off, itemid, axis=1)
+    l = jnp.take_along_axis(lengths, itemid, axis=1)
+    c = jnp.take_along_axis(codes, itemid, axis=1)
+    pos = jnp.arange(nbits_pad, dtype=jnp.int32)[None, :]
+    j = pos - o
+    valid = (j >= 0) & (j < l)
+    shift = jnp.clip(l - 1 - j, 0, 31).astype(jnp.uint32)
+    bit = ((c >> shift) & 1).astype(jnp.int32)
+    bits = jnp.where(valid, bit, 0)
+
+    weights = jnp.asarray((1 << np.arange(7, -1, -1)).astype(np.int32))
+    packed = (bits.reshape(f, maxbytes, 8) * weights).sum(-1).astype(jnp.uint8)
+    return packed, nbits
 
 
 # ---------------------------------------------------------------------------

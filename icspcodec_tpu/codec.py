@@ -165,15 +165,22 @@ def _pack_bucketed(codes, lengths, slab: int = 32):
 
     Pulls only the per-frame bit counts to size a static byte bucket
     (8 KB granularity keeps the jit cache warm across runs), then packs
-    `slab` frames per dispatch to bound the expand buffer."""
+    `slab` frames per dispatch to bound the expand buffer.  All slabs
+    are dispatched before any row is pulled: the async queue overlaps
+    each slab's device pack with the previous slab's host readback
+    (measured 3.9 s -> 3.2 s per CIF300, tools/bench_pack_ab.py; larger
+    slabs REGRESS — the expand buffers fall out of cache)."""
     from .bitstream_device import pack_frames_dev
 
     nb = np.asarray(jnp.sum(lengths, axis=1))
     maxbytes = int(-(-int(nb.max()) // (8 * 8192)) * 8192)
     f = codes.shape[0]
+    outs = [
+        pack_frames_dev(codes[s:s + slab], lengths[s:s + slab], maxbytes)
+        for s in range(0, f, slab)
+    ]
     rows, bits = [], []
-    for s in range(0, f, slab):
-        p, n = pack_frames_dev(codes[s:s + slab], lengths[s:s + slab], maxbytes)
+    for p, n in outs:
         rows += list(np.asarray(p))
         bits += [int(v) for v in np.asarray(n)]
     return rows, bits

@@ -306,22 +306,25 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     h, w = gh * 8, gw * 8
     f = prev_cb.shape[0]
     mv = sym["mv"] if "mv" in sym else mv_reconstruct_scan(sym["mv_diff"])
+    # the inverse chain stays the batched XLA composition (+ the fused DC
+    # kernel on the fast path): a fully-fused inverse pallas chain was
+    # built and measured 5x SLOWER at these batch shapes (0.50 vs
+    # 0.10 ms/30 frames, tools/probe_r5_inter.py) - the inverse has no
+    # mode/quant logic left for fusion to save, and the rows relayout
+    # costs more than the launch overhead it removes (the FORWARD chain
+    # keeps its fused kernel: in the encode scan it measured a net win)
+    q = izigzag(sym["y_scan"])
+    iq = dequant_block(q, qdc, qac)
     if me not in ("xla",) and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_xform import xform_inv_fused
+        from ..ops.pallas_dc import idc_dpcm_fused
 
-        _interp = me == "pallas_interpret"
-        # inverse zig-zag + dequant + inverse DC chain + IDCT + (int)
-        # cast as ONE kernel, unpacked straight to frame layout
-        inv_f = xform_inv_fused(
-            sym["y_scan"], qdc, qac, chroma=False, table=table,
-            interpret=_interp, r_plane=True,
+        dq_dc = idc_dpcm_fused(
+            iq[..., 0, 0], chroma=False, interpret=(me == "pallas_interpret")
         )
     else:
-        q = izigzag(sym["y_scan"])
-        iq = dequant_block(q, qdc, qac)
         dq_dc = idc_dpcm_scan(iq[..., 0, 0], luma_dc_kind(gh, gw))
-        iq = iq.at[..., 0, 0].set(dq_dc)
-        inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
+    iq = iq.at[..., 0, 0].set(dq_dc)
+    inv_f = from_blocks(c_trunc(idct(iq, table=table, dtype=dtype)))
     pad = pad_image(prev_y, 16)
     padc = pad_image(jnp.concatenate([prev_cb, prev_cr]), 8)
     if me == "xla":
@@ -361,24 +364,23 @@ def decode_inter_frame(sym: dict, prev_y, prev_cb, prev_cr, qdc, qac, table, dty
     recon_y = jnp.clip(predf + inv_f, 0, 255).astype(jnp.uint8)
 
     out = dict(y=recon_y)
-    # Cb and Cr share the inverse chain: one batch, one kernel/scan
+    # Cb and Cr share the inverse chain: one batch, one DC kernel/scan
+    # (same measurement as the luma inverse above: batched XLA wins)
+    qc = izigzag(jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]))
+    iqc = dequant_block(qc, qdc, qac)
+    ch, cw = qc.shape[1:3]
     if me not in ("xla",) and dtype in (jnp.float32, np.float32):
-        from ..ops.pallas_xform import xform_inv_fused
+        from ..ops.pallas_dc import idc_dpcm_fused
 
-        rc = from_blocks(xform_inv_fused(
-            jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]),
-            qdc, qac, chroma=True, table=table,
-            interpret=(me == "pallas_interpret"),
-        ))
+        dqc = idc_dpcm_fused(
+            iqc[..., 0, 0], chroma=True, interpret=(me == "pallas_interpret")
+        )
     else:
-        qc = izigzag(jnp.concatenate([sym["cb_scan"], sym["cr_scan"]]))
-        iqc = dequant_block(qc, qdc, qac)
-        ch, cw = qc.shape[1:3]
         dqc = idc_dpcm_scan(iqc[..., 0, 0], chroma_dc_kind(ch, cw))
-        iqc = iqc.at[..., 0, 0].set(dqc)
-        rc = from_blocks(idct(iqc, table=table, dtype=dtype))
-    # the predictor is added BEFORE the (int) cast (f32 addition may
-    # round across an integer boundary — the kernel emits raw f32)
+    iqc = iqc.at[..., 0, 0].set(dqc)
+    rc = from_blocks(idct(iqc, table=table, dtype=dtype))
+    # the predictor is added BEFORE the (int) cast (the reference sums
+    # in double, then casts)
     rec = jnp.clip(c_trunc(predcf.astype(dtype) + rc), 0, 255).astype(jnp.uint8)
     out["cb"], out["cr"] = rec[:f], rec[f:]
     return out

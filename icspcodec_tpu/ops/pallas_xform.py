@@ -1,5 +1,13 @@
-"""Fused pallas transform chains: DCT + DC-DPCM + quant + zig-zag +
-dequant + IDCT as ONE kernel (forward), and the inverse chain for decode.
+"""Fused pallas FORWARD transform chain: DCT + DC-DPCM + quant +
+zig-zag + dequant + IDCT as ONE kernel.
+
+(An inverse-chain twin was built and REMOVED: at decode batch shapes it
+measured 5x slower than the batched XLA composition + fused DC kernel —
+0.50 vs 0.10 ms per 30 CIF frames, tools/probe_r5_inter.py — because
+the inverse has no mode/quant logic for fusion to save and the rows
+relayout costs more than the launch overhead it removes.  The forward
+chain earns its fusion inside the encode GOP scan, where it replaced
+several launches plus a zig-zag gather and an acflag reduction.)
 
 The inter luma residual chain and the chroma chain (intra and inter,
 reference: Quantization enc src:2780 / CQuantization :4642, DPCM DC
@@ -42,8 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dc import _dc_tables
 from .pallas_intra import (
-    _HI, _cdiv, _dc_pred, _f32, _mm, _perm64, _rows_pack_gather,
-    _rows_unpack, _shear_pack, _zz_matrix,
+    _HI, _cdiv, _dc_pred, _f32, _mm, _perm64, _rows_unpack, _shear_pack,
+    _zz_matrix,
 )
 from .transforms import _fdct_matrix, _idct_matrix, _table_key
 
@@ -144,81 +152,6 @@ def _xform_rows_fused(vrows, kind_t, lane0_t, nb: int, qdc: int, qac: int,
     )(vrows, kind_t, lane0_t, m_f, m_i, m_z)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("nb", "qdc", "qac", "chroma", "table_key", "interpret"),
-)
-def _ixform_rows_fused(srows, kind_t, lane0_t, nb: int, qdc: int, qac: int,
-                       chroma: bool, table_key: str, interpret: bool = False):
-    """Inverse chain: (nsteps, 64, Mp) int16 zig-zag symbols -> IDCT rows
-    (int16 trunc for luma, float32 for chroma) via inverse zig-zag +
-    dequant + inverse DC-DPCM + IDCT in one kernel."""
-    nsteps, _, mp = srows.shape
-    m_i = _idct_matrix(table_key, "float32")
-    m_z = _zz_matrix(inverse=True)
-    wrap = mp - nb + 1
-
-    def kernel(s_ref, kind_ref, l0_ref, mi_ref, mz_ref,
-               r_ref, h1, h2, h3):
-        d_id = pl.program_id(0)
-
-        @pl.when(d_id == 0)
-        def _init():
-            for ref in (h1, h2, h3):
-                ref[...] = jnp.zeros((1, mp), jnp.int32)
-
-        is0 = l0_ref[0] != 0
-
-        def up_lane(x):
-            a = pltpu.roll(x, 1, axis=1)
-            b = pltpu.roll(x, wrap, axis=1)
-            return jnp.where(is0, b, a)
-
-        l = h1[...]
-        ur = up_lane(h1[...])
-        u = up_lane(h2[...])
-        ul = up_lane(h3[...])
-        pred = _dc_pred(kind_ref[0], l, ul, u, ur)
-
-        yx1 = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
-        row0 = yx1 == 0
-
-        q = _perm64(mz_ref, s_ref[0].astype(jnp.int32))  # yx order
-        iq = jnp.where(
-            row0, q * qdc + jnp.broadcast_to(pred, (64, mp)), q * qac
-        )
-        new_dq = _mm(_f32(row0).T, _f32(iq), _HI).astype(jnp.int32)
-        r = _mm(mi_ref[...], _f32(iq))
-
-        if chroma:
-            r_ref[0] = r
-        else:
-            r_ref[0] = r.astype(jnp.int32).astype(jnp.int16)
-
-        h3[...] = h2[...]
-        h2[...] = h1[...]
-        h1[...] = new_dq
-
-    row_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
-    fix_spec = lambda r: pl.BlockSpec((1, r, mp), lambda d: (0, 0, 0), memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((64, 64), lambda d: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(nsteps,),
-        in_specs=[row_spec(64), row_spec(1), fix_spec(1), mat_spec, mat_spec],
-        out_specs=row_spec(64),
-        out_shape=jax.ShapeDtypeStruct(
-            (nsteps, 64, mp), jnp.float32 if chroma else jnp.int16
-        ),
-        scratch_shapes=[pltpu.VMEM((1, mp), jnp.int32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2**20,
-        ),
-        interpret=interpret,
-    )(srows, kind_t, lane0_t, m_i, m_z)
-
-
 def xform_fwd_fused(blocks: jnp.ndarray, qdc: int, qac: int, chroma: bool,
                     table, interpret: bool = False, r_plane: bool = False):
     """Forward chain for (F, gh, gw, 8, 8) int blocks (chroma pixels or
@@ -250,26 +183,3 @@ def xform_fwd_fused(blocks: jnp.ndarray, qdc: int, qac: int, chroma: bool,
             fdim, gh, gw, 8, 8
         )
     return out
-
-
-def xform_inv_fused(scan: jnp.ndarray, qdc: int, qac: int, chroma: bool,
-                    table, interpret: bool = False, r_plane: bool = False):
-    """Inverse chain for (F, gh, gw, 64) int zig-zag symbols.  Returns r
-    blocks (F, gh, gw, 8, 8): trunc(idct) int32 [luma] / f32 [chroma];
-    r_plane=True (luma) returns (F, gh*8, gw*8) planes directly."""
-    from .pallas_intra import _rows_unpack_plane
-
-    fdim, gh, gw = scan.shape[:3]
-    nsteps, nb, mp, kind_t, lane0 = _dc_tables(gh, gw, fdim, chroma)
-    sc = jnp.asarray(scan)
-    if sc.dtype != jnp.int16:
-        sc = jnp.clip(sc, -32768, 32767).astype(jnp.int16)
-    srows = _rows_pack_gather(sc.reshape(fdim, gh, gw, 64), nb, mp)
-    r = _ixform_rows_fused(
-        srows, kind_t, lane0, nb, qdc, qac, chroma,
-        _table_key(np.asarray(table)), interpret,
-    )
-    if r_plane and not chroma:
-        return _rows_unpack_plane(r, fdim, gh, gw, nb).astype(jnp.int32)
-    rg = _rows_unpack(r, fdim, gh, gw, nb)
-    return (rg if chroma else rg.astype(jnp.int32)).reshape(fdim, gh, gw, 8, 8)

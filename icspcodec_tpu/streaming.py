@@ -273,7 +273,8 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
     # per-GOP either way (each round writes one chunk per GOP), but
     # per-GOP dispatch would pay the device<->host round-trip floor 30x
     # per CIF300 and sink the wall throughput to ~2/3 of codec.encode's
-    rsize = cfg.gop_shards if cfg.gop_shards > 1 else 8
+    # (16 measured best among {1, 8, 16} on the CIF300 wall probe)
+    rsize = cfg.gop_shards if cfg.gop_shards > 1 else 16
     rounds: list[list] = []
     for g, idxs in pending:
         if rounds and len(rounds[-1]) < rsize and len(rounds[-1][0][1]) == len(idxs):
@@ -297,14 +298,16 @@ def encode_streaming(y, cb, cr, cfg: CodecConfig, workdir: str, seq_name: str = 
             tmp = chunk.with_suffix(".tmp.npz")
             if dev_entropy:
                 rows, nbits, psnr = res
-                np.savez_compressed(
+                np.savez(  # uncompressed: chunks are ephemeral workdir artifacts
+                    
                     tmp, packed=rows, nbits=nbits, fingerprint=fps[g]
                 )
                 bits_total = int(nbits.sum())
                 done[g] = (list(rows), list(nbits))
             else:
                 codes, lengths, recon = res
-                np.savez_compressed(
+                np.savez(  # uncompressed: chunks are ephemeral workdir artifacts
+                    
                     tmp, codes=codes, lengths=lengths, fingerprint=fps[g]
                 )
                 bits_total = int(lengths.sum())

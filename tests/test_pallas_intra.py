@@ -138,14 +138,14 @@ def test_dc_chain_fused_equals_scan(f, gh, gw, qstep, chroma):
     ],
 )
 def test_xform_fused_equals_xla(f, gh, gw, qdc, qac, chroma):
-    """Fused transform chain (ops/pallas_xform.py) == the XLA composition
-    (fdct + dc_dpcm_scan + quant + zigzag + dequant + idct + acflag),
-    forward and inverse, both rounding regimes."""
+    """Fused forward transform chain (ops/pallas_xform.py) == the XLA
+    composition (fdct + dc_dpcm_scan + quant + zigzag + dequant + idct +
+    acflag), both rounding regimes."""
     from icspcodec_tpu.constants import COS_DEC
     from icspcodec_tpu.engine.wavefront import (
         chroma_dc_kind, dc_dpcm_scan, idc_dpcm_scan, luma_dc_kind,
     )
-    from icspcodec_tpu.ops.pallas_xform import xform_fwd_fused, xform_inv_fused
+    from icspcodec_tpu.ops.pallas_xform import xform_fwd_fused
     from icspcodec_tpu.ops.quant import ac_flag, c_trunc, dequant_block, quant_block
     from icspcodec_tpu.ops.scanorder import izigzag, zigzag
     from icspcodec_tpu.ops.transforms import fdct, idct
@@ -171,17 +171,16 @@ def test_xform_fused_equals_xla(f, gh, gw, qdc, qac, chroma):
     np.testing.assert_array_equal(np.asarray(got["scan"]), np.asarray(sc_ref))
     np.testing.assert_array_equal(np.asarray(got["acflag"]), np.asarray(acf_ref))
     np.testing.assert_array_equal(np.asarray(got["r"]), np.asarray(r_ref))
-
-    # inverse: decode the symbols this encode produced
-    qi = izigzag(sc_ref)
-    iqi = dequant_block(qi, qdc, qac)
-    dqi = idc_dpcm_scan(iqi[..., 0, 0], kind)
-    iqi = iqi.at[..., 0, 0].set(dqi)
-    ri_ref = idct(iqi, table=COS_DEC, dtype=jnp.float32)
     if not chroma:
-        ri_ref = c_trunc(ri_ref)
-    got_i = xform_inv_fused(sc_ref, qdc, qac, chroma, COS_DEC, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ri_ref))
+        # r_plane: same values, frame layout
+        from icspcodec_tpu.engine.intra import from_blocks
+
+        gp = xform_fwd_fused(blocks, qdc, qac, chroma, COS_ENC,
+                             interpret=True, r_plane=True)
+        np.testing.assert_array_equal(
+            np.asarray(gp["r_plane"]),
+            np.asarray(from_blocks(r_ref.reshape(f, gh, gw, 8, 8))),
+        )
 
 
 def test_decode_fused_through_engine():

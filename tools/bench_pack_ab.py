@@ -75,30 +75,36 @@ def main():
     maxbytes = int(-(-int(nbits.max()) // (8 * 8192)) * 8192)
     print(f"maxbytes={maxbytes}", flush=True)
 
-    slab = 32
-    slabs = [(s, min(s + slab, NF)) for s in range(0, NF, slab)]
-
-    def wall(impl, name):
-        # warm/compile every slab shape
-        for a, b in slabs:
+    def wall(impl, name, slab, overlap=False):
+        slabs = [(s, min(s + slab, NF)) for s in range(0, NF, slab)]
+        for a, b in slabs:  # warm/compile every slab shape
             p, n = impl(ci[a:b], li[a:b], maxbytes)
             np.asarray(p)
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             outs = []
-            for a, b in slabs:
-                p, n = impl(ci[a:b], li[a:b], maxbytes)
-                outs.append((np.asarray(p), np.asarray(n)))
+            if overlap:  # dispatch everything, then pull
+                ds = [impl(ci[a:b], li[a:b], maxbytes) for a, b in slabs]
+                outs = [(np.asarray(p), np.asarray(n)) for p, n in ds]
+            else:
+                for a, b in slabs:
+                    p, n = impl(ci[a:b], li[a:b], maxbytes)
+                    outs.append((np.asarray(p), np.asarray(n)))
             best = min(best, time.time() - t0)
-        print(f"{name}: {best*1e3:.0f} ms / {NF} frames (pull incl.)", flush=True)
+        print(f"{name} slab={slab} overlap={overlap}: {best*1e3:.0f} ms / "
+              f"{NF} frames (pull incl.)", flush=True)
         return outs
 
-    a = wall(pack_frames_dev, "byte-gather pack (r5 prod)")
-    b = wall(pack_frames_scatter, "scatter pack (r4)")
-    for (pa, na), (pb, nb) in zip(a, b):
-        assert np.array_equal(na, nb)
-        assert np.array_equal(pa, pb)
+    ref = wall(pack_frames_scatter, "scatter", 32)
+    for slab in (100, 300):
+        wall(pack_frames_scatter, "scatter", slab)
+    wall(pack_frames_scatter, "scatter", 300, overlap=True)
+    wall(pack_frames_scatter, "scatter", 32, overlap=True)
+    got = wall(pack_frames_dev, "prod", 300, overlap=True)
+    pa = np.concatenate([p for p, _ in ref]); na = np.concatenate([n for _, n in ref])
+    pb = np.concatenate([p for p, _ in got]); nb = np.concatenate([n for _, n in got])
+    assert np.array_equal(na, nb) and np.array_equal(pa, pb)
     print("byte-identical outputs", flush=True)
 
 

@@ -95,34 +95,25 @@ def intra_fused_cases(w: int, h: int):
     from icspcodec_tpu.ops import pallas_xform as pxf
 
     f = fs[0]
-    for tag, cgh, cgw, chroma, inv, qq in (
-        ("xf_fwd_chroma", gh // 2, gw // 2, True, False, (16, 16)),
-        ("xf_fwd_chroma_q10", gh // 2, gw // 2, True, False, (10, 12)),
-        ("xf_fwd_luma", gh, gw, False, False, (16, 16)),
-        ("xf_inv_luma", gh, gw, False, True, (16, 16)),
-        ("xf_inv_chroma", gh // 2, gw // 2, True, True, (16, 16)),
+    for tag, cgh, cgw, chroma, qq in (
+        ("xf_fwd_chroma", gh // 2, gw // 2, True, (16, 16)),
+        ("xf_fwd_chroma_q10", gh // 2, gw // 2, True, (10, 12)),
+        ("xf_fwd_luma", gh, gw, False, (16, 16)),
     ):
         ff = 2 * f if chroma else min(f, 30)
         nsteps, nb, mp, kind, lane0 = pdc._dc_tables(cgh, cgw, ff, chroma)
-        dt = jnp.int16
         xargs = (
-            _s((nsteps, 64, mp), dt),
+            _s((nsteps, 64, mp), jnp.int16),
             _s((nsteps, 1, mp), jnp.int32),
             _s((1, 1, mp), jnp.int32),
         )
-        if inv:
-            fn = lambda nb, chroma: (lambda *a: pxf._ixform_rows_fused(
-                *a, nb=nb, qdc=16, qac=16, chroma=chroma,
-                table_key="dec"))
-            cases.append((f"{tag}_f{ff}", jax.jit(fn(nb, chroma)), xargs))
-        else:
-            qdc, qac = qq
-            fn = lambda nb, chroma, qdc, qac: (lambda *a: pxf._xform_rows_fused(
-                *a, nb=nb, qdc=qdc, qac=qac, chroma=chroma,
-                table_key="enc"))
-            cases.append(
-                (f"{tag}_f{ff}", jax.jit(fn(nb, chroma, qdc, qac)), xargs)
-            )
+        qdc, qac = qq
+        fn = lambda nb, chroma, qdc, qac: (lambda *a: pxf._xform_rows_fused(
+            *a, nb=nb, qdc=qdc, qac=qac, chroma=chroma,
+            table_key="enc"))
+        cases.append(
+            (f"{tag}_f{ff}", jax.jit(fn(nb, chroma, qdc, qac)), xargs)
+        )
 
     for tag, cgh, cgw, chroma, inv, qs in (
         ("dc_fwd_chroma", gh // 2, gw // 2, True, False, 16),
