@@ -112,6 +112,24 @@ def main():
     t_p = per_call(gop_body)
     fps_p = NF / t_p
 
+    # codec-only variants: consume ONE output array instead of all 13+ —
+    # tools/probe_scan_gap.py measured ~9.8 ms/300f of pure checksum
+    # consumption inside the headline probes (an artifact of the harness,
+    # not the codec; kept in the headline for round comparability)
+    def intra_body_1cks(d):
+        out = encode_intra_frames(yj + d, cbj, crj, 16, 16, table=COS_ENC,
+                                  dtype=jnp.float32, me=me)
+        return jnp.sum(out["y_scan"].astype(jnp.int32))
+
+    def gop_body_1cks(d):
+        intra, inter = encode_gop(yg + d, cbg, crg, 16, 16, table=COS_ENC,
+                                  dtype=jnp.float32, me=me)
+        return (jnp.sum(inter["y_scan"].astype(jnp.int32))
+                + jnp.sum(intra["y_scan"].astype(jnp.int32)))
+
+    fps_i1 = NF / per_call(intra_body_1cks)
+    fps_p1 = NF / per_call(gop_body_1cks)
+
     # decoder device throughput: symbols (as the native parser would emit
     # them) -> planes, batched inverse pipelines + GOP scan
     from icspcodec_tpu.engine.intra import decode_intra_frames
@@ -226,6 +244,8 @@ def main():
         "vs_baseline": round(fps_i / BASE_ALLINTRA_FPS, 1),
         "inter_p10_fps": round(fps_p, 1),
         "inter_vs_baseline": round(fps_p / BASE_INTER_FPS, 1),
+        "encode_allintra_fps_single_cks": round(fps_i1, 1),
+        "encode_inter_p10_fps_single_cks": round(fps_p1, 1),
         "decode_fps_allintra_device": round(NF / t_di, 1),
         "decode_fps_inter_p10_device": round(NF / t_dp, 1),
         "wall_fps_allintra": round(wall_i, 1),

@@ -49,21 +49,22 @@ def main():
     from tools.make_content import synth_sequence
 
     W, H, P = 352, 288, 10
-    nmax = 8
+    nmax = 16  # bigger batch: ~1 s legs drown scheduler noise (the r5
+    # first capture at 8 GOPs still spread 0.75-1.20 across pairs)
     raw = synth_sequence("benchA", nmax * P).tobytes()
     y, cb, cr = load_yuv420(raw, W, H, nmax * P)
     yg = y.reshape(nmax, P, H, W)
     cbg = cb.reshape(nmax, P, H // 2, W // 2)
     crg = cr.reshape(nmax, P, H // 2, W // 2)
 
-    def timed(g, n):
-        """Encode g GOPs sharded over n devices; best of 3 (warm)."""
+    def timed(g, n, runs=5):
+        """Encode g GOPs sharded over n devices; best of `runs` (warm)."""
         mesh = mesh_for(n, exact=False)
         args = (yg[:g], cbg[:g], crg[:g], 16, 16, mesh)
         out = encode_gops_sharded(*args, dtype=jnp.float32)  # compile+warm
         jax.block_until_ready(out)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             out = encode_gops_sharded(*args, dtype=jnp.float32)
             jax.block_until_ready(out)
@@ -82,8 +83,8 @@ def main():
     reps = []
     times = []
     for _ in range(5):
-        t8_1 = timed(8, 1)
-        t8_8 = timed(8, 8)
+        t8_1 = timed(nmax, 1)
+        t8_8 = timed(nmax, 8)
         reps.append(t8_1 / t8_8)
         times.append((t8_1, t8_8))
     reps_sorted = sorted(reps)
@@ -94,14 +95,14 @@ def main():
     result = {
         "metric": "gop_sharding_efficiency",
         "value": round(sharding_eff, 3),
-        "unit": "t(8 GOPs, 1 dev) / t(8 GOPs, 8 devs); median of 5 pairs",
+        "unit": "t(16 GOPs, 1 dev) / t(16 GOPs, 8 devs); median of 5 back-to-back pairs, best-of-5 legs",
         "reps": [round(r, 3) for r in reps],
         "min": round(reps_sorted[0], 3),
         "max": round(reps_sorted[-1], 3),
         "spread_pct": round(
             100 * (reps_sorted[-1] - reps_sorted[0]) / sharding_eff, 1
         ),
-        "seconds_8gops": {"1dev": round(t8_1, 3), "8dev": round(t8_8, 3)},
+        "seconds_batch": {"1dev": round(t8_1, 3), "8dev": round(t8_8, 3)},
         "weak_scaling_shared_cores": {
             str(n): round(weak[1] / weak[n], 3) for n in weak
         },
