@@ -320,33 +320,36 @@ def _sad_dense_rolls(cur, pad, offsets, interpret):
     shifts = _roll_shifts(np.asarray(offsets), 16, ph, pw)
     nu = len(shifts)
 
-    def kernel(sh_ref, cur_ref, pad_ref, out_ref):
+    def kernel(cur_ref, pad_ref, out_ref):
         cur_i = cur_ref[0].astype(jnp.int32)
         pad_i = pad_ref[0].astype(jnp.int32)
         rowsum = _iota_eq(mbh, h, 16)
         colsum = _iota_eq(mbw, w, 16).T
 
-        def body(k, _):
-            win = pltpu.roll(
-                pltpu.roll(pad_i, sh_ref[k, 0], axis=0), sh_ref[k, 1], axis=1
-            )[:h, :w]
-            d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)).astype(jnp.float32)
-            s = jnp.dot(
-                jnp.dot(rowsum, d, preferred_element_type=jnp.float32),
-                colsum,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)
-            out_ref[0, k] = s
-            return 0
-
-        jax.lax.fori_loop(0, nu, body, 0)
+        # grouped rolls + bf16-exact split reduction (r5, as in
+        # sad_mc_best): output rows are keyed by rank, so group-major
+        # iteration is order-free
+        for cs, members in _grouped_shifts(shifts):
+            cached = pltpu.roll(pad_i, cs, axis=1)
+            for rs, rank in members:
+                win = pltpu.roll(cached, rs, axis=0)[:h, :w]
+                d = (jnp.maximum(cur_i, win) - jnp.minimum(cur_i, win)
+                     ).astype(jnp.float32)
+                csum = jnp.dot(d, colsum, preferred_element_type=jnp.float32)
+                csi = csum.astype(jnp.int32)            # <= 4080
+                hi = jax.lax.shift_right_logical(csi, np.int32(4))
+                lo = csi & 15
+                s = (
+                    jnp.dot(rowsum, _f32c(hi), preferred_element_type=jnp.float32)
+                    * 16.0
+                    + jnp.dot(rowsum, _f32c(lo), preferred_element_type=jnp.float32)
+                ).astype(jnp.int32)
+                out_ref[0, rank] = s
 
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ph, pw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -356,7 +359,7 @@ def _sad_dense_rolls(cur, pad, offsets, interpret):
         out_shape=jax.ShapeDtypeStruct((g, nu, mbh, mbw), jnp.int32),
         compiler_params=_vmem_params(ph, pw, h, w, 4),
         interpret=interpret,
-    )(jnp.asarray(shifts), cur, pad)
+    )(cur, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -413,6 +416,11 @@ def _mc_select(pad, idx, offsets: tuple, block: int, padlen: int, interpret: boo
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)                   # (H, W)
 
+        # NOT grouped-roll (unlike sad_mc_best/_sad_dense_rolls): the
+        # statically-unrolled grouped variant deterministically crashed
+        # the remote Mosaic compile helper at the 720p luma shape
+        # (tpu_compile_helper exit 1; CIF compiled fine), so the select
+        # keeps the compact fori_loop + SMEM shift-table formulation
         def body(u, pred):
             win = pltpu.roll(
                 pltpu.roll(pad_i, sh_ref[u, 0], axis=0), sh_ref[u, 1], axis=1
